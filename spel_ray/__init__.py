@@ -1,0 +1,26 @@
+"""spel_ray — a Ray-Data-native record-linkage / data-processing engine.
+
+Re-expresses the capabilities of the reference (shavarani/SpEL: subword-level
+span tagging over a fixed candidate set + span aggregation; see SURVEY.md) as a
+blocking + pairwise-scoring + transitive-clustering pipeline over Parquet
+source-code tables, built Ray-Data-first:
+
+- ``ray.data.read_parquet`` streams Arrow blocks (zero-copy batches),
+- ``map_batches(batch_format="pyarrow")`` computes fingerprints, MinHash-LSH
+  band keys and ``(lang, sha256-prefix)`` exact blocking keys,
+- a salted ``groupby(block_key)`` shuffle colocates candidate pairs with
+  explicit skew capping of hot keys,
+- a vectorized scorer (plus an actor-pool verifier for borderline pairs)
+  scores candidate edges,
+- transitive clustering runs alternating large-star / small-star rounds
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014)
+  until fixpoint — pure ``groupby`` over edge lists, no joins.
+
+Everything here derives from public knowledge only (Ray / Arrow docs, the
+public reference repo, published papers).
+"""
+
+from spel_ray.config import LinkageConfig
+
+__all__ = ["LinkageConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""Pipeline configuration.
+
+The analog of the reference's config surface (``configuration.py`` +
+checkpoint-selection flags, reference ``server.py:69-78``): one frozen
+dataclass that every stage takes explicitly, so a pipeline run is fully
+described by (input paths, LinkageConfig, checkpoint dir).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    """Knobs for the blocking + scoring + clustering pipeline.
+
+    Defaults are tuned for near-duplicate source files (50-4000 chars, 0-5
+    small edits from a shared ancestor — see FIXTURES.md §1). At 100 TB the
+    same defaults hold: block size / pair caps bound worst-case work per
+    group independent of total data size.
+    """
+
+    # --- shingling / MinHash (blocking sketch) ---
+    shingle_k: int = 7              # char-shingle width over normalized content
+    num_perm: int = 64              # MinHash permutations = bands * rows_per_band
+    bands: int = 16                 # LSH bands; pair collides if any band matches
+    rows_per_band: int = 4
+    seed: int = 42
+
+    # --- exact blocking ---
+    sha_prefix_len: int = 16        # (lang, sha256[:p]) exact key, catches identical content
+
+    # --- pair generation / skew handling ---
+    max_block_pairs_n: int = 64     # blocks with <= n rows emit all C(n,2) pairs
+    max_block_rows: int = 10_000    # hard cap on rows considered per block (memory guard)
+    # Blocks larger than max_block_pairs_n emit a sorted chain (r0,r1),(r1,r2)...
+    # instead of all pairs: n-1 edges preserve connectivity for transitive
+    # clustering while bounding a hot key's output at O(n) instead of O(n^2).
+
+    # --- scoring ---
+    score_threshold: float = 0.62   # combined score >= threshold -> edge
+    verify_low: float = 0.35        # borderline band sent to the exact verifier
+    verify_high: float = 0.80
+    use_verifier: bool = True
+
+    # --- clustering ---
+    max_cc_rounds: int = 50         # safety bound on large/small-star rounds
+
+    # --- execution ---
+    batch_size: int = 2048          # rows per map_batches call for sketching
+    pair_batch_size: int = 8192     # pairs per scoring batch
+    scorer_concurrency: int = 4     # actor-pool size for the verifier stage
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — part of every checkpoint manifest."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = LinkageConfig()

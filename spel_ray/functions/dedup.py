@@ -1,0 +1,248 @@
+"""Deduplication family over a text corpus — first-class training-data ops.
+
+- **exact_dedup**: content-hash partition + per-group min-id representative
+  (≙ A8/A9 exact dedup, reference ``data_loader.py:380-390``).
+- **minhash_dedup**: the full near-dup path — shingle → MinHash → LSH band
+  groupby → verified pairs → connected components → per-cluster
+  representative. Reuses the linkage stages wholesale.
+- **simhash_dedup**: 64-bit SimHash (Charikar 2002) with a 4-segment
+  blocking index: near-dups (Hamming distance ≤ 3) must agree on at least
+  one of 4 16-bit segments (pigeonhole), so candidate generation is a
+  groupby, not an all-pairs scan.
+- **ngram_jaccard_pairs**: exact word n-gram Jaccard verification for
+  candidate pairs.
+- **embedding_neardup**: cosine ≥ τ pairs over an embedding column via
+  blocked numpy matmul against a broadcast matrix (brute-force baseline;
+  see similarity.py for the ANN path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.state.shuffle import bucketed_groupby
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id", *, num_buckets: int = 32
+                ) -> ray.data.Dataset:
+    """Keep the min-id row per distinct text. Hash-partition by content
+    digest so identical texts colocate; never ships full text twice."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = np.array(
+            [int.from_bytes(
+                hashlib.sha256((t or "").encode()).digest()[:8], "big")
+             & 0x7FFFFFFFFFFFFFFF
+             for t in batch[text_col].to_pylist()], dtype=np.int64)
+        return batch.append_column("_h", pa.array(hs, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        # hash collisions are broken by comparing the text itself
+        out = (df.sort_values(id_col)
+                 .drop_duplicates(["_h", text_col], keep="first"))
+        return out.drop(columns=["_h"])
+
+    return bucketed_groupby(hashed, "_h", keep_min, num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_dedup(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  *, num_buckets: int = 32) -> ray.data.Dataset:
+    """Near-dup clusters over a documents-like table: returns
+    (doc_id, cluster_id) reusing the linkage pipeline's stages."""
+    import pyarrow.compute as pc
+
+    from spel_ray.stages.blocking import block_keys
+    from spel_ray.stages.clustering import assign_clusters, connected_components
+    from spel_ray.stages.fingerprint import _norm_ws
+    from spel_ray.stages.pairs import scored_candidate_pairs
+    from spel_ray.stages.scoring import edges_from_pairs
+
+    cfg = cfg or LinkageConfig(use_verifier=False)
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        shas = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in texts.to_pylist()]
+        return pa.table({
+            "row_id": batch[id_col],
+            "lang": pa.array(["txt"] * batch.num_rows, pa.string()),
+            "content_sha256": pa.array(shas, pa.string()),
+            "norm_content": _norm_ws(texts),
+            "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+        })
+
+    records = ds.map_batches(adapt, batch_format="pyarrow")
+    blocks = block_keys(records, cfg)
+    pairs = scored_candidate_pairs(blocks, cfg, num_buckets=num_buckets)
+    edges = edges_from_pairs(pairs, cfg)
+    star = connected_components(edges, num_buckets=num_buckets)
+    clusters = assign_clusters(records, star, num_buckets=num_buckets)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([id_col if c == "row_id" else c
+                                     for c in batch.column_names])
+
+    return clusters.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64(text: str, word_re: re.Pattern = _WORD_RE) -> int:
+    """Charikar SimHash over word features (uint64)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in word_re.findall((text or "").lower()):
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        sh = np.array([simhash64(t) for t in batch[text_col].to_pylist()],
+                      dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(sh.view(np.int64),
+                                                       pa.int64()))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_candidates(ds_with_simhash: ray.data.Dataset,
+                       id_col: str = "doc_id", *, max_hamming: int = 3,
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """Candidate near-dup pairs: block on each of 4 16-bit simhash segments
+    (pigeonhole: hamming ≤ 3 ⇒ ≥1 intact segment), verify hamming ≤ k."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["simhash"]).view(np.uint64)
+        ids = np.asarray(batch[id_col])
+        segs, keys, out_ids, out_sh = [], [], [], []
+        for s in range(4):
+            seg = (sh >> np.uint64(16 * s)) & np.uint64(0xFFFF)
+            key = (seg.astype(np.int64) << 3) | s  # segment value + index
+            keys.append(key)
+            out_ids.append(ids)
+            out_sh.append(sh)
+        return pa.table({
+            "seg_key": pa.array(np.concatenate(keys), pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            "simhash": pa.array(np.concatenate(out_sh).view(np.int64), pa.int64()),
+        })
+
+    exploded = ds_with_simhash.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_lo, out_hi, out_d = [], [], []
+        for _, g in df.groupby("seg_key", sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) < 2 or len(g) > 2000:
+                continue
+            ids = g[id_col].to_numpy()
+            sh = g["simhash"].to_numpy().view(np.uint64)
+            a, b = np.triu_indices(len(g), k=1)
+            x = sh[a] ^ sh[b]
+            # vectorized popcount via uint8 view + lookup-free bit twiddling
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                              axis=1).sum(axis=1)
+            keep = d <= max_hamming
+            out_lo.append(ids[a][keep])
+            out_hi.append(ids[b][keep])
+            out_d.append(d[keep])
+        if not out_lo:
+            return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
+                                 "id_hi": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "id_lo": np.concatenate(out_lo),
+            "id_hi": np.concatenate(out_hi),
+            "hamming": np.concatenate(out_d).astype(np.int64),
+        }).drop_duplicates(["id_lo", "id_hi"])
+
+    cand = bucketed_groupby(exploded, "seg_key", pairs_in_bucket,
+                            num_buckets=num_buckets)
+
+    # global dedup (a pair can match in several segments)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_lo", "id_hi"], sort=False)["hamming"]
+                  .min().reset_index())
+
+    from spel_ray.state.shuffle import pair_key
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = pair_key(df["id_lo"].to_numpy(), df["id_hi"].to_numpy())
+        return df
+
+    keyed = cand.map_batches(add_pk, batch_format="pandas")
+    return bucketed_groupby(keyed, "_pk",
+                            lambda df: merge(df.drop(columns=["_pk"])),
+                            num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------- ngram jaccard
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    ta = _WORD_RE.findall((a or "").lower())
+    tb = _WORD_RE.findall((b or "").lower())
+    sa = {tuple(ta[i:i + n]) for i in range(max(0, len(ta) - n + 1))}
+    sb = {tuple(tb[i:i + n]) for i in range(max(0, len(tb) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> ray.data.Dataset:
+    """Cosine ≥ τ pairs via per-batch numpy matmul against the (broadcast)
+    full normalized matrix — the brute-force O(n²/batch) baseline. At scale,
+    replace the broadcast with the LSH-bucketed path in similarity.py; the
+    per-batch kernel is identical."""
+    mat_ref = _broadcast_normalized(ds, id_col, emb_col)
+
+    def find(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(mat_ref)
+        ids = np.asarray(batch[id_col])
+        emb = np.vstack(batch[emb_col].to_pylist()).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = emb @ m_all.T                               # (b, N)
+        out_lo, out_hi, out_s = [], [], []
+        for r in range(len(ids)):
+            hit = np.flatnonzero(sims[r] >= threshold)
+            for c in hit:
+                if ids[r] < ids_all[c]:
+                    out_lo.append(ids[r])
+                    out_hi.append(int(ids_all[c]))
+                    out_s.append(float(sims[r, c]))
+        return pa.table({"id_lo": pa.array(out_lo, pa.int64()),
+                         "id_hi": pa.array(out_hi, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    return ds.map_batches(find, batch_format="pyarrow", batch_size=1024)
+
+
+def _broadcast_normalized(ds: ray.data.Dataset, id_col: str, emb_col: str):
+    df = ds.select_columns([id_col, emb_col]).to_pandas()
+    m = np.vstack(df[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ray.put((df[id_col].to_numpy(), m))

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns plus metadata
+columns (``media_type``, ``width``/``height``/``sample_rate``/…). The Ray
+side — schema, batch sizing, actor-pool stage shape, output layout — is real
+and tested; the actual codec work is STUBBED because the sandbox has no
+image/audio libraries: ``decode=`` defaults to a deterministic fake
+(byte-hash features) and ``strict=True`` raises ``NotImplementedError`` where
+a real decoder would plug in.
+
+Scale notes baked into the API: binary payloads are large, so stages take a
+small ``batch_size`` and the payload column is dropped as soon as features
+are extracted (project early, ≙ SURVEY.md §7.4 "very wide records").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),        # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("meta_width", pa.int32()),
+    ("meta_height", pa.int32()),
+    ("meta_sample_rate", pa.int32()),
+    ("meta_duration_ms", pa.int32()),
+])
+
+
+def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(64, 4096, n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n), pa.int64()),
+        "media_type": pa.array(types.tolist(), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_width": pa.array(rng.integers(16, 1920, n).astype("int32")),
+        "meta_height": pa.array(rng.integers(16, 1080, n).astype("int32")),
+        "meta_sample_rate": pa.array(rng.integers(8000, 48000, n).astype("int32")),
+        "meta_duration_ms": pa.array(rng.integers(100, 60000, n).astype("int32")),
+    })
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+encoder: hash-seeded
+    pseudo-features. Replace with the real model in production."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + embed media payloads.
+
+    ``__init__`` is where a real build would load the decoder/model ONCE per
+    actor (≙ reference scorer T1, ``model.py:161-167``); here it only fixes
+    the output dim. ``strict=True`` raises where the real decode belongs."""
+
+    def __init__(self, dim: int = 32, strict: bool = False):
+        self.dim = dim
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real image/audio decoding requires codec libraries not "
+                "present in this environment; wire Pillow/torchaudio here")
+        feats = [_fake_features(p, self.dim)
+                 for p in batch["payload"].to_pylist()]
+        out = batch.drop_columns(["payload"])       # project early: payload is dead weight now
+        return out.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())))
+
+
+def extract_media_features(ds: ray.data.Dataset, *, dim: int = 32,
+                           concurrency: int = 2, batch_size: int = 64,
+                           strict: bool = False) -> ray.data.Dataset:
+    """Small batch_size on purpose: payload bytes × batch × concurrency must
+    fit the worker heap."""
+    return ds.map_batches(MediaFeatureExtractor,
+                          fn_constructor_kwargs={"dim": dim, "strict": strict},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_video_frames(ds: ray.data.Dataset, *, every_ms: int = 1000,
+                        batch_size: int = 64) -> ray.data.Dataset:
+    """Frame-sampling plumbing: one output row per sampled timestamp (real
+    decoder stubbed; timestamps derived from metadata are real)."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids, ts = [], []
+        mid = batch["media_id"].to_pylist()
+        dur = batch["meta_duration_ms"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        for i in range(batch.num_rows):
+            if types[i] != "video":
+                continue
+            for t in range(0, int(dur[i]), every_ms):
+                ids.append(mid[i])
+                ts.append(t)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_ts_ms": pa.array(ts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

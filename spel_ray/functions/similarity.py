@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (list<float>).
+
+- **ann_topk_bruteforce** — exact top-k by cosine: the query matrix is
+  normalized once, ``ray.put`` once, and every batch does one numpy matmul
+  (zero-copy Arrow → numpy). This is the correctness baseline and the oracle
+  for the LSH path.
+- **ann_topk_lsh** — the scale path: random-hyperplane LSH (Charikar 2002)
+  buckets both the corpus and the queries; only colliding buckets are scored.
+  Recall is tunable by (n_planes, n_tables); the partitioning assumption is
+  that each (table, bucket) group fits a task — guaranteed by the hash being
+  data-independent.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from spel_ray.state.shuffle import bucketed_groupby
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
+                        query_ids: np.ndarray, k: int = 10,
+                        *, id_col: str = "vec_id", emb_col: str = "embedding",
+                        batch_size: int = 4096) -> pd.DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cosine, rank).
+
+    Per-batch partial top-k (vectorized argpartition) → driver-side heap
+    merge over the tiny partials (two-stage top-k, ≙ reference
+    ``model.py:126-158``)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col])
+        emb = np.vstack(batch[emb_col].to_pylist()).astype(np.float64)
+        emb = _normalize(emb)
+        sims = q @ emb.T                                    # (Q, b)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(sims.shape[0]):
+            for c in part[qi]:
+                rows.append((qi, int(ids[c]), float(sims[qi, c])))
+        arr = np.array(rows, dtype=object)
+        return pa.table({
+            "qi": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    out = []
+    for qi, g in parts.groupby("qi"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(top, start=1):
+            out.append((int(query_ids[qi]), r.vec_id, round(r.cosine, 5), rank))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine", "rank"]) \
+             .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def ann_topk_lsh(ds: ray.data.Dataset, queries: np.ndarray,
+                 query_ids: np.ndarray, k: int = 10, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 n_planes: int = 8, n_tables: int = 8, seed: int = 42,
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane sign buckets per table;
+    candidates = corpus rows sharing a (table, bucket) with the query."""
+    dim = np.asarray(queries).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket keys."""
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (m @ planes[t].T) > 0                  # (n, planes)
+            key = np.zeros(m.shape[0], dtype=np.int64)
+            for p in range(n_planes):
+                key = (key << 1) | signs[:, p]
+            out[:, t] = (key << 6) | t                     # mix table id
+        return out
+
+    q_buckets = bucket_of(qm)                               # (Q, T)
+    # query side broadcast: bucket -> list of query indices
+    q_map: dict[int, list[int]] = {}
+    for qi in range(qm.shape[0]):
+        for t in range(n_tables):
+            q_map.setdefault(int(q_buckets[qi, t]), []).append(qi)
+    q_ref = ray.put((q_map, qm))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        qmap, q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col])
+        emb = _normalize(np.vstack(batch[emb_col].to_pylist()).astype(np.float64))
+        bks = bucket_of(emb)                                # (b, T)
+        qi_out, id_out, s_out = [], [], []
+        # candidate set per row = union of queries sharing any bucket
+        for r in range(len(ids)):
+            cand: set[int] = set()
+            for t in range(n_tables):
+                cand.update(qmap.get(int(bks[r, t]), ()))
+            for qi in cand:
+                qi_out.append(qi)
+                id_out.append(int(ids[r]))
+                s_out.append(float(q[qi] @ emb[r]))
+        return pa.table({"qi": pa.array(qi_out, pa.int64()),
+                         "vec_id": pa.array(id_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    parts = ds.map_batches(probe, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    out = []
+    for qi, g in parts.groupby("qi"):
+        g = g.drop_duplicates("vec_id")
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(top, start=1):
+            out.append((int(query_ids[qi]), r.vec_id, round(r.cosine, 5), rank))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine", "rank"]) \
+             .sort_values(["query_id", "rank"]).reset_index(drop=True)

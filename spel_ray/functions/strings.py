@@ -1,0 +1,106 @@
+"""String-similarity kernels used by the exact verifier.
+
+All batch-oriented: one call scores a list of pairs. Jaro-Winkler and
+Levenshtein follow the standard published definitions (Winkler 1990;
+Wagner-Fischer DP); Levenshtein runs the DP with numpy row vectors so the
+inner loop is O(len) vector ops, not O(len²) Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def token_jaccard_pairs(a_list: list[str], b_list: list[str],
+                        token_re: re.Pattern | None = None) -> np.ndarray:
+    """Jaccard over identifier/number token sets, per pair."""
+    if token_re is None:
+        token_re = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+")
+    out = np.empty(len(a_list), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        ta, tb = set(token_re.findall(a)), set(token_re.findall(b))
+        if not ta and not tb:
+            out[i] = 1.0
+        else:
+            inter = len(ta & tb)
+            out[i] = inter / (len(ta) + len(tb) - inter) if (ta or tb) else 1.0
+    return out
+
+
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ba = np.frombuffer(a.encode("utf-16-le"), dtype=np.uint16)
+    bb = np.frombuffer(b.encode("utf-16-le"), dtype=np.uint16)
+    # surrogate pairs would desync lengths; fall back to codepoint arrays
+    if len(ba) != la or len(bb) != lb:
+        ba = np.array([ord(c) for c in a], dtype=np.uint32)
+        bb = np.array([ord(c) for c in b], dtype=np.uint32)
+    match_b = np.zeros(lb, dtype=bool)
+    match_a = np.zeros(la, dtype=bool)
+    m = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        seg = (bb[lo:hi] == ba[i]) & ~match_b[lo:hi]
+        j = np.flatnonzero(seg)
+        if len(j):
+            match_b[lo + j[0]] = True
+            match_a[i] = True
+            m += 1
+    if m == 0:
+        return 0.0
+    sa = ba[match_a]
+    sb = bb[match_b]
+    t = int((sa != sb).sum()) // 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def jaro_winkler_pairs(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    return np.array([jaro_winkler(a, b) for a, b in zip(a_list, b_list)],
+                    dtype=np.float64)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Wagner-Fischer with numpy row vectors (O(len_a) vector ops)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    bb = np.array([ord(c) for c in b], dtype=np.uint32)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    ar = np.arange(lb + 1, dtype=np.int64)
+    for i, ca in enumerate(a, start=1):
+        sub = prev[:-1] + (bb != ord(ca))        # substitution / match
+        dele = prev[1:] + 1                      # deletion from a
+        tmp = np.concatenate(([i], np.minimum(sub, dele)))
+        # insertion is the prefix recurrence cur[j] = min(tmp[j], cur[j-1]+1)
+        # = min_{k<=j}(tmp[k] + (j-k)) = accumulate-min(tmp - j) + j
+        prev = np.minimum.accumulate(tmp - ar) + ar
+    return int(prev[lb])
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    return 1.0 - levenshtein(a, b) / max(la, lb)

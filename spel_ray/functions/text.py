@@ -1,0 +1,138 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language ID (character/stopword n-gram heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace + a
+BPE-ish regex), and document fingerprinting (rolling hash) — each a
+vectorized ``map_batches`` stage over the ``documents`` table.
+
+The langid profiles are tiny built-in stopword/character heuristics (public
+knowledge, à la Cavnar-Trenkle n-gram LID) — deliberately dependency-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "los", "por"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"},
+    "fr": {"le", "la", "de", "et", "un", "est", "les", "des", "en", "que"},
+}
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the regex family used by public GPT-2/RoBERTa byte-BPE pre-tokenizers —
+# the reference tokenizes with exactly such a model, ``data_loader.py:123``)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def detect_lang(text: str) -> str:
+    """Heuristic LID: CJK codepoint share first, then stopword votes."""
+    if not text:
+        return "und"
+    n_cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if n_cjk > 0.05 * min(len(text), 400):
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(text[:2000])]
+    if not words:
+        return "und"
+    ws = set(words)
+    votes = {lang: len(ws & sw) for lang, sw in _STOPWORDS.items()}
+    best = max(sorted(votes), key=lambda k: votes[k])
+    return best if votes[best] > 0 else "und"
+
+
+class TextAnalyzer:
+    """Actor-poolable map_batches stage: language id + quality + tokens."""
+
+    def __init__(self) -> None:
+        self.word_re = _WORD_RE
+        self.bpe_re = _BPE_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        pred_lang = np.empty(n, dtype=object)
+        n_tokens_ws = np.empty(n, dtype=np.int64)
+        n_tokens_bpe = np.empty(n, dtype=np.int64)
+        stop_ratio = np.empty(n, dtype=np.float64)
+        punct_ratio = np.empty(n, dtype=np.float64)
+        mean_word_len = np.empty(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            pred_lang[i] = detect_lang(t)
+            ws_toks = t.split()
+            n_tokens_ws[i] = len(ws_toks)
+            n_tokens_bpe[i] = len(self.bpe_re.findall(t))
+            words = [w.lower() for w in self.word_re.findall(t)]
+            en_stop = _STOPWORDS["en"]
+            stop_ratio[i] = (sum(w in en_stop for w in words) / len(words)
+                             if words else 0.0)
+            n_alpha = sum(ch.isalnum() or ch.isspace() for ch in t)
+            punct_ratio[i] = 1.0 - n_alpha / len(t) if t else 0.0
+            mean_word_len[i] = float(np.mean([len(w) for w in words])) if words else 0.0
+        quality = (
+            np.clip(np.log1p(n_tokens_ws) / np.log(200.0), 0, 1) * 0.4
+            + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
+            + np.clip(1.0 - punct_ratio * 2.5, 0, 1) * 0.3
+        )
+        out = batch
+        for name, arr, typ in [
+            ("pred_lang", pred_lang, pa.string()),
+            ("n_tokens_ws", n_tokens_ws, pa.int64()),
+            ("n_tokens_bpe", n_tokens_bpe, pa.int64()),
+            ("stop_ratio", stop_ratio, pa.float64()),
+            ("punct_ratio", punct_ratio, pa.float64()),
+            ("mean_word_len", mean_word_len, pa.float64()),
+            ("quality", quality, pa.float64()),
+        ]:
+            out = out.append_column(name, pa.array(arr.tolist() if arr.dtype == object else arr, typ))
+        return out
+
+
+def analyze_documents(ds: ray.data.Dataset, *, batch_size: int = 4096,
+                      concurrency: int | None = None) -> ray.data.Dataset:
+    """Stateful stage (compiled regexes) as an actor pool when concurrency is
+    given, else reusable tasks."""
+    if concurrency:
+        return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+    analyzer = TextAnalyzer()
+    return ds.map_batches(lambda b: analyzer(b), batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def rolling_fingerprint(text: str, window: int = 32, base: int = 257,
+                        mod: int = (1 << 61) - 1) -> int:
+    """Deterministic document fingerprint: min of a rolling polynomial hash
+    over byte windows (a Rabin-Karp / winnowing-style sketch)."""
+    b = text.encode("utf-8", errors="ignore")
+    if not b:
+        return 0
+    if len(b) <= window:
+        h = 0
+        for ch in b:
+            h = (h * base + ch) % mod
+        return h
+    arr = np.frombuffer(b, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, window).astype(np.uint64)
+    pows = np.power(np.uint64(base), np.arange(window, dtype=np.uint64),
+                    dtype=np.uint64)
+    h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return int(h.min())
+
+
+def fingerprint_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(t or "") for t in batch["text"].to_pylist()]
+        return batch.append_column(
+            "doc_fingerprint", pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
+                                        pa.int64()))
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,90 @@
+"""The flagship pipeline: blocking → pairwise scoring → transitive clustering.
+
+End-to-end recast of the reference's serving pipeline (reference
+``server.py:118-143`` → ``utils.py:280-397`` → ``candidate_manager.py:76-103``)
+as Ray-Data stages:
+
+    read_parquet (prune columns)
+      → fingerprint          (map_batches, Arrow, sha256 row invariant)
+      → minhash + block keys (map_batches, numpy sketches)
+      → pair-gen + score     (bucketed groupby #1, skew-capped)
+      → duplicate-pair merge (bucketed groupby #2, conflict vote)
+      → borderline verify    (hash join on content, actor pool) [optional]
+      → threshold edges
+      → connected components (large/small-star rounds)
+      → cluster assignment   (bucketed min-label)
+
+Every stage streams; nothing materializes the full input except the edge set
+inside the fixpoint loop (edges ≪ input).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.blocking import block_keys
+from spel_ray.stages.clustering import assign_clusters, connected_components
+from spel_ray.stages.fingerprint import fingerprint
+from spel_ray.stages.pairs import scored_candidate_pairs
+from spel_ray.stages.scoring import edges_from_pairs, verify_borderline
+
+
+@dataclass
+class LinkageResult:
+    records: ray.data.Dataset       # fingerprinted input (row_id, sha, …)
+    pairs: ray.data.Dataset         # deduped scored candidate pairs
+    edges: ray.data.Dataset         # thresholded (lo, hi)
+    clusters: ray.data.Dataset      # (row_id, cluster_id)
+    stats: dict = field(default_factory=dict)
+
+
+def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
+                *, num_buckets: int = 64,
+                checkpoint_dir: str | None = None) -> LinkageResult:
+    """Run the full linkage pipeline over a code table
+    (repo, path, commit, lang, content).
+
+    With ``checkpoint_dir`` set, each stage writes per-partition Parquet +
+    a manifest and a rerun resumes from the last complete stage
+    (see state/checkpoint.py)."""
+    cfg = cfg or LinkageConfig()
+
+    if checkpoint_dir is not None:
+        from spel_ray.state.checkpoint import CheckpointedRun
+        ckpt = CheckpointedRun(checkpoint_dir, cfg)
+    else:
+        ckpt = None
+
+    def stage(name, fn):
+        if ckpt is None:
+            return fn()
+        return ckpt.run_stage(name, fn)
+
+    records = stage("fingerprint", lambda: fingerprint(ds, batch_size=cfg.batch_size))
+    blocks = stage("block_keys", lambda: block_keys(records, cfg))
+    pairs = stage("pairs", lambda: scored_candidate_pairs(
+        blocks, cfg, num_buckets=num_buckets))
+    # The merged pair set has several consumers (the verifier's two branches,
+    # edges, evaluation) — pin it (it is ~|candidate pairs| slim rows, far
+    # smaller than the input; the object store spills if needed) so
+    # blocking/pair-gen runs exactly once instead of once per consumer.
+    if ckpt is None:
+        pairs = pairs.materialize()
+    if cfg.use_verifier:
+        pairs = stage("verify", lambda: verify_borderline(
+            pairs, records, cfg, num_buckets=max(8, num_buckets // 2)))
+        if ckpt is None:
+            pairs = pairs.materialize()
+    edges = stage("edges", lambda: edges_from_pairs(pairs, cfg))
+    star = stage("components", lambda: connected_components(
+        edges, num_buckets=num_buckets, max_rounds=cfg.max_cc_rounds))
+    clusters = stage("clusters", lambda: assign_clusters(
+        records, star, num_buckets=num_buckets))
+    if ckpt is None:
+        clusters = clusters.materialize()
+
+    return LinkageResult(records=records, pairs=pairs, edges=edges,
+                         clusters=clusters)

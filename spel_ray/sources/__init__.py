@@ -1,0 +1,9 @@
+from spel_ray.sources.code_table import read_code_table, documents_as_code_table
+from spel_ray.sources.synth import generate_code_table, synth_parquet_path
+
+__all__ = [
+    "read_code_table",
+    "documents_as_code_table",
+    "generate_code_table",
+    "synth_parquet_path",
+]

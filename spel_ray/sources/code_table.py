@@ -1,0 +1,50 @@
+"""Sources for the primary code table.
+
+The reference streams its corpus from TSV / tar.gz without materialization
+(reference ``aida.py:189-220``, ``data_loader.py:154-165``); here the corpus
+is Parquet and Ray Data's streaming executor gives the same no-materialize
+property. Reads prune columns at the source — a read that loads all columns
+for a 2-column transform is wrong at 100 TB.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+CODE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_code_table(path: str, *, with_truth: bool = False,
+                    columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a Parquet code table (input_hint schema), pruning columns at the
+    read. ``with_truth`` additionally loads ``ancestor_id`` when present
+    (evaluator only — the pipeline itself never sees it)."""
+    cols = list(columns) if columns is not None else list(CODE_COLUMNS)
+    if with_truth and "ancestor_id" not in cols:
+        cols.append("ancestor_id")
+    return ray.data.read_parquet(path, columns=cols)
+
+
+def documents_as_code_table(sf_dir: str) -> ray.data.Dataset:
+    """Adapt the driver's ``documents`` table to the code-table schema so the
+    flagship linkage pipeline can run over it (doc_id becomes the path;
+    ``text`` plays ``content``). Used by ``__ray_entry__.entry()``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def to_code(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc = pc.cast(batch["doc_id"], pa.string())
+        return pa.table({
+            "repo": batch["source"],
+            "path": pc.binary_join_element_wise(
+                pa.array(["doc"] * n), doc, pa.array([".txt"] * n), ""),
+            "commit": doc,
+            "lang": batch["lang"],
+            "content": batch["text"],
+        })
+
+    return ds.map_batches(to_code, batch_format="pyarrow")

@@ -1,0 +1,190 @@
+"""Deterministic synthetic source-code table (FIXTURES.md §1).
+
+One row per source-code file version, schema per BASELINE.json input_hint:
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+plus ground truth ``ancestor_id:int64`` (never read by the pipeline — only by
+the evaluator; files mutated from the same ancestor are one true cluster).
+
+The generator is the engine's analog of the reference's shipped conformance
+corpus (AIDA/testc, reference ``README.md:256-261``): a fixed-seed labeled
+corpus used as the golden regression gate. Near-duplicates are produced by
+applying 0-5 small edits (rename identifier, reorder imports,
+whitespace/comment churn, line deletion) to a shared ancestor.
+
+A slice of "boilerplate" rows shares one tiny near-identical file across many
+repos — this deliberately creates a hot LSH block to exercise the skew cap.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_LANGS = ["python", "java", "go", "js", "rust"]
+_EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs"}
+# zipf-skewed language mix (exercises hot-key handling downstream)
+_LANG_P = np.array([0.45, 0.25, 0.15, 0.10, 0.05])
+
+_NOUNS = [
+    "record", "batch", "stream", "index", "shard", "cursor", "buffer", "schema",
+    "table", "column", "row", "block", "chunk", "token", "vector", "matrix",
+    "cache", "queue", "worker", "task", "result", "config", "metric", "label",
+]
+_VERBS = [
+    "load", "parse", "merge", "split", "score", "rank", "filter", "reduce",
+    "encode", "decode", "hash", "sort", "scan", "emit", "collect", "flush",
+]
+
+
+def _ident(rng: np.random.Generator) -> str:
+    return f"{_VERBS[rng.integers(len(_VERBS))]}_{_NOUNS[rng.integers(len(_NOUNS))]}"
+
+
+def _make_ancestor(rng: np.random.Generator, lang: str) -> str:
+    """Template source file from a seeded snippet grammar (50-4000 chars)."""
+    n_funcs = int(rng.integers(1, 7))
+    n_imports = int(rng.integers(1, 6))
+    mods = [_NOUNS[rng.integers(len(_NOUNS))] for _ in range(n_imports)]
+    lines: list[str] = []
+    if lang == "python":
+        lines += [f"import {m}" for m in mods]
+        lines.append("")
+        for _ in range(n_funcs):
+            fn, a, b = _ident(rng), _ident(rng), _ident(rng)
+            body_n = int(rng.integers(1, 6))
+            lines.append(f"def {fn}({a}, {b}):")
+            for _ in range(body_n):
+                x, y = _ident(rng), _ident(rng)
+                op = ["+", "-", "*", "%"][rng.integers(4)]
+                lines.append(f"    {x} = {a}.{y}() {op} {int(rng.integers(100))}")
+            lines.append(f"    return {a} if {b} else None")
+            lines.append("")
+    elif lang in ("java", "js", "go", "rust"):
+        kw = {"java": "import", "js": "const", "go": "import", "rust": "use"}[lang]
+        lines += [f"{kw} {m};" for m in mods]
+        lines.append("")
+        for _ in range(n_funcs):
+            fn, a, b = _ident(rng), _ident(rng), _ident(rng)
+            decl = {
+                "java": f"public static int {fn}(int {a}, int {b}) {{",
+                "js": f"function {fn}({a}, {b}) {{",
+                "go": f"func {fn}({a} int, {b} int) int {{",
+                "rust": f"fn {fn}({a}: i64, {b}: i64) -> i64 {{",
+            }[lang]
+            lines.append(decl)
+            for _ in range(int(rng.integers(1, 6))):
+                x, y = _ident(rng), _ident(rng)
+                op = ["+", "-", "*", "%"][rng.integers(4)]
+                lines.append(f"    {x} = {y}({a}) {op} {int(rng.integers(100))};")
+            lines.append(f"    return {a};")
+            lines.append("}")
+            lines.append("")
+    return "\n".join(lines)[:4000]
+
+
+def _mutate(rng: np.random.Generator, content: str, n_edits: int) -> str:
+    """Apply ``n_edits`` small edits — rename identifier, reorder imports,
+    whitespace churn, comment churn, delete a line."""
+    for _ in range(n_edits):
+        kind = int(rng.integers(5))
+        lines = content.split("\n")
+        if kind == 0:  # rename one identifier globally
+            old, new = _ident(rng), _ident(rng)
+            # pick an identifier that actually occurs
+            toks = [t for t in set(content.replace("(", " ").replace(")", " ").split())
+                    if "_" in t and t.isidentifier()]
+            if toks:
+                old = toks[int(rng.integers(len(toks)))]
+                content = content.replace(old, new)
+            continue
+        if kind == 1 and len(lines) > 3:  # reorder two import-ish head lines
+            i, j = sorted(rng.integers(0, min(4, len(lines)), size=2))
+            lines[i], lines[j] = lines[j], lines[i]
+        elif kind == 2 and lines:  # whitespace churn
+            i = int(rng.integers(len(lines)))
+            lines[i] = lines[i] + "  " if rng.random() < 0.5 else "  " + lines[i]
+        elif kind == 3:  # comment churn
+            i = int(rng.integers(len(lines) + 1))
+            lines.insert(i, f"# note {int(rng.integers(1000))}")
+        elif kind == 4 and len(lines) > 4:  # delete a line
+            del lines[int(rng.integers(len(lines)))]
+        content = "\n".join(lines)
+    return content
+
+
+def generate_code_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic labeled code table; ~n_rows/4 true clusters.
+
+    Returns an Arrow table ``(repo, path, commit, lang, content, ancestor_id)``.
+    ``ancestor_id`` is ground truth only — drop it before feeding the pipeline
+    if you want a strict input_hint schema.
+    """
+    rng = np.random.default_rng(seed)
+    n_boiler = max(0, int(n_rows * 0.04))      # hot-block slice
+    n_regular = n_rows - n_boiler
+    n_anc = max(1, n_regular // 4)
+
+    # cluster sizes: many singletons/small, a few larger (zipf-ish)
+    anc_lang_idx = rng.choice(len(_LANGS), size=n_anc, p=_LANG_P)
+    ancestors = [_make_ancestor(rng, _LANGS[anc_lang_idx[i]]) for i in range(n_anc)]
+    member_anc = rng.integers(0, n_anc, size=n_regular)
+
+    repos, paths, commits, langs, contents, anc_ids = [], [], [], [], [], []
+    hexd = np.array(list("0123456789abcdef"))
+
+    def commit_hash() -> str:
+        return "".join(hexd[rng.integers(0, 16, size=40)])
+
+    for i in range(n_regular):
+        a = int(member_anc[i])
+        lang = _LANGS[anc_lang_idx[a]]
+        n_edits = int(rng.integers(0, 6))
+        content = _mutate(rng, ancestors[a], n_edits)
+        repos.append(f"org{i % 37}/proj{i % 101}")
+        d = _NOUNS[int(rng.integers(len(_NOUNS)))]
+        paths.append(f"src/{d}/{_ident(rng)}.{_EXT[lang]}")
+        commits.append(commit_hash())
+        langs.append(lang)
+        contents.append(content)
+        anc_ids.append(a)
+
+    boiler = "import os\nimport sys\n\n__all__ = []\n"
+    for i in range(n_boiler):
+        repos.append(f"org{i % 37}/proj{(i * 7) % 101}")
+        paths.append("src/__init__.py")
+        commits.append(commit_hash())
+        langs.append("python")
+        contents.append(boiler if rng.random() < 0.7
+                        else _mutate(rng, boiler, 1))
+        anc_ids.append(n_anc)  # all boilerplate is one true cluster
+
+    return pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.string()),
+        "ancestor_id": pa.array(anc_ids, pa.int64()),
+    })
+
+
+def synth_parquet_path(n_rows: int, seed: int = 42,
+                       cache_dir: str = "/tmp/spel_ray_synth") -> str:
+    """Generate-once-and-cache the synthetic table as Parquet.
+
+    bench.py and tests read through this so generation cost never lands
+    inside a timed region. Written atomically (tmp file + rename) so two
+    concurrent processes (the two `--scaling` runs) can share the cache.
+    """
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}.parquet")
+    if not os.path.exists(out):
+        t = generate_code_table(n_rows, seed)
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out)
+    return out

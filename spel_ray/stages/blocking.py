@@ -1,0 +1,104 @@
+"""Blocking — explode each record to (block_key, row features) rows.
+
+Two key families (the engine's candidate-set construction, ≙ reference
+``candidate_manager.py:31-56``):
+
+- exact keys ``x:{lang}:{sha256[:p]}`` — identical-content fast path;
+- LSH band keys ``b{band:02d}:{bandhash:016x}`` — near-duplicate path.
+
+Records appearing under multiple keys later produce duplicate candidate
+pairs; those are merged downstream exactly like the reference's overlapping
+chunk-vote (``utils.py:230-251``) — see pairs.py.
+
+The block row carries the features scoring needs (sig, n_chars, lang, sha) so
+pair generation emits self-contained pair rows and NO join is needed before
+scoring. Tradeoff, documented: ~(bands+1)× amplification of the sketch
+columns through one shuffle, in exchange for zero extra all-to-all joins.
+``content`` itself is dropped here — it is only re-joined for the borderline
+verifier band (scoring.py), never shuffled wholesale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.minhash import MinHasher, sigs_to_numpy
+
+BLOCK_SCHEMA_COLS = ["block_key", "row_id", "sig", "n_chars", "lang", "content_sha256"]
+
+
+class BlockKeyExploder:
+    """map_batches callable: fingerprinted+sketched rows → exploded block rows.
+
+    Block keys are int64 (uint64 hashes bit-cast): far cheaper to shuffle and
+    group than strings at 10^12-row scale. Key families are kept disjoint by
+    mixing a family constant into the hash (exact family vs each LSH band)."""
+
+    _EXACT_FAMILY = np.uint64(0xE0E0E0E0E0E0E0E0)
+
+    def __init__(self, cfg: LinkageConfig):
+        self.cfg = cfg
+        self.hasher = MinHasher(cfg)
+        # per-band mixing constants so band b and band b' never collide
+        rng = np.random.default_rng(cfg.seed + 1)
+        self.band_salt = rng.integers(1, 2**63, size=cfg.bands, dtype=np.uint64) | np.uint64(1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        cfg = self.cfg
+        n = batch.num_rows
+        sigs = sigs_to_numpy(batch["sig"], cfg.num_perm)           # (n, P)
+        band_h = np.empty((n, cfg.bands), dtype=np.uint64)
+        for i in range(n):
+            band_h[i] = self.hasher.band_hashes(sigs[i])
+        band_h = band_h * self.band_salt[None, :]                  # family-separate
+        band_h ^= band_h >> np.uint64(32)
+
+        langs = batch["lang"].to_pylist()
+        shas = batch["content_sha256"].to_pylist()
+        p = cfg.sha_prefix_len
+
+        exact = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            d = hashlib.blake2b(f"{langs[i]}:{shas[i][:p]}".encode(),
+                                digest_size=8).digest()
+            exact[i] = np.uint64(int.from_bytes(d, "big")) ^ self._EXACT_FAMILY
+
+        # interleave: per row -> [exact, band_0..band_{B-1}]
+        keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
+        idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
+
+        taken = batch.select(["row_id", "sig", "n_chars", "lang", "content_sha256"]) \
+                     .take(pa.array(idx))
+        return taken.add_column(
+            0, "block_key", pa.array(keys.view(np.int64), pa.int64()))
+
+
+# Per-worker-process caches: stateless *tasks* stay elastic (no actor pool to
+# size), while the permutation tables are still built once per process, not
+# once per batch (≙ reference tokenizer/vocab singletons T6/T7,
+# ``data_loader.py:56-96,123``).
+_STATE_CACHE: dict[tuple, object] = {}
+
+
+def _cached(kind: str, cfg: LinkageConfig):
+    key = (kind, cfg.fingerprint())
+    obj = _STATE_CACHE.get(key)
+    if obj is None:
+        obj = (MinHasher if kind == "minhash" else BlockKeyExploder)(cfg)
+        _STATE_CACHE[key] = obj
+    return obj
+
+
+def block_keys(ds: ray.data.Dataset, cfg: LinkageConfig) -> ray.data.Dataset:
+    """fingerprinted ds → sketch (MinHash signature) → exploded block rows."""
+    sketched = ds.map_batches(
+        lambda b, cfg=cfg: _cached("minhash", cfg)(b),
+        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
+    return sketched.map_batches(
+        lambda b, cfg=cfg: _cached("explode", cfg)(b),
+        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)

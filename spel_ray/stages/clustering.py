@@ -1,0 +1,149 @@
+"""Transitive clustering — distributed connected components over edge lists.
+
+The engine analog of the reference's span aggregation (adjacent words with
+equal resolved annotation collapse into one phrase, reference
+``span_annotation.py:9-63``, ``utils.py:389-397``) lifted to cluster
+granularity: records connected by accepted edges collapse into one cluster,
+labeled by the minimum row id (the canonical-representative rule, ≙ canonical
+redirects, reference ``configuration.py:39-45``).
+
+Algorithm: **hash-to-min with per-bucket union-find contraction** (the
+map-reduce CC family of Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds", ICDE 2013, and Kiveris et al., SoCC 2014 —
+public knowledge). Each round:
+
+1. every canonical edge (lo, hi) is emitted in both directions (node, nbr) so
+   an edge reaches the bucket of *each* endpoint;
+2. one bucketed shuffle groups by node hash; inside a bucket a local
+   union-find contracts the entire bucket subgraph and emits the spanning
+   star (min-member, member) per local component.
+
+Replacing each bucket's subgraph by its spanning star preserves global
+connectivity (the buckets partition the directed edge set, and a spanning
+structure per part keeps every part's vertex set connected), and labels only
+ever decrease toward the component minimum, so the edge set converges to the
+per-component star in O(log n) rounds. Convergence is detected by an
+order-independent (count, checksum) signature of the round's output. One
+shuffle per round; the driver loop only materializes the (small) edge set —
+mirroring the reference's per-epoch reload fixpoint
+(``finetune_step_1.py:97-104``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from spel_ray.state.shuffle import bucketed_groupby, pair_key
+
+_EMPTY_EDGES = pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                             "hi": pd.Series(dtype="int64")})
+
+
+def _local_union_find(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over edge arrays; returns (unique_nodes, root_per_node)
+    with each root being the minimum node id of its local component."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    parent = np.arange(n, dtype=np.int64)
+    ia = inv[: len(a)]
+    ib = inv[len(a):]
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by smaller index == smaller node id (nodes are sorted)
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    return nodes, nodes[roots]
+
+
+def _contract_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of directed rows (node, nbr) → spanning star edges
+    (root=lo, member=hi) of each local component."""
+    if len(df) == 0:
+        return _EMPTY_EDGES
+    nodes, root = _local_union_find(df["node"].to_numpy(),
+                                    df["nbr"].to_numpy())
+    keep = root != nodes
+    return pd.DataFrame({"lo": root[keep], "hi": nodes[keep]})
+
+
+def _to_directed(batch: pa.Table) -> pa.Table:
+    lo = np.asarray(batch["lo"])
+    hi = np.asarray(batch["hi"])
+    return pa.table({
+        "node": pa.array(np.concatenate([lo, hi]), pa.int64()),
+        "nbr": pa.array(np.concatenate([hi, lo]), pa.int64()),
+    })
+
+
+def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(row count, order-independent uint64 checksum) of an edge set."""
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = pair_key(np.asarray(batch["lo"]), np.asarray(batch["hi"]))
+        s = int(pk.view(np.uint64).sum(dtype=np.uint64))
+        return pa.table({"s": pa.array([s], pa.uint64()),
+                         "c": pa.array([batch.num_rows], pa.int64())})
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(int(p["s"]) for p in parts) % (1 << 64)
+    count = sum(int(p["c"]) for p in parts)
+    return count, total
+
+
+def connected_components(edges: ray.data.Dataset, *, num_buckets: int = 64,
+                         max_rounds: int = 50) -> ray.data.Dataset:
+    """Edge list (lo, hi) → star edges (root, member) at fixpoint.
+
+    One bucketed shuffle per round; the driver loop is the fixpoint control
+    the survey flags as the hard part of iteration in a DAG engine
+    (SURVEY.md §7.4)."""
+    cur = edges
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        directed = cur.map_batches(_to_directed, batch_format="pyarrow")
+        contracted = bucketed_groupby(directed, "node", _contract_bucket,
+                                      num_buckets=num_buckets)
+        cur = contracted.materialize()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return cur
+
+
+def assign_clusters(records: ray.data.Dataset, star_edges: ray.data.Dataset,
+                    *, num_buckets: int = 64) -> ray.data.Dataset:
+    """(row_id …) × star edges → (row_id, cluster_id); singletons label
+    themselves. One bucketed min-label shuffle — no join."""
+    def self_label(batch: pa.Table) -> pa.Table:
+        ids = batch["row_id"]
+        return pa.table({"row_id": ids, "cluster_id": ids})
+
+    def edge_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"row_id": batch["hi"], "cluster_id": batch["lo"]})
+
+    base = records.select_columns(["row_id"]).map_batches(
+        self_label, batch_format="pyarrow")
+    from_edges = star_edges.map_batches(edge_label, batch_format="pyarrow")
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("row_id", sort=False)["cluster_id"].min()
+                  .reset_index())
+
+    return bucketed_groupby(base.union(from_edges), "row_id", min_label,
+                            num_buckets=num_buckets)

@@ -1,0 +1,98 @@
+"""Pairwise evaluation harness — micro/macro P/R/F1 over labeled pairs.
+
+The engine analog of the reference's evaluation stack (gold↔pred alignment +
+micro/macro P/R/F1, reference ``utils.py:425-545``, ``decao_eval.py:1185-1281``):
+
+- the *labeled pair set* is exactly the candidate pairs that share at least
+  one blocking key (the candidate-set-restricted eval of the north_rule,
+  ≙ reference ``utils.py:530-544``);
+- micro P/R/F1 counts over pairs with the same partial/merge/finalize shape
+  as the reference's distributed counters (``dist_reduce_fx="sum"``,
+  ``decao_eval.py:1193-1197``) — here both as a driver helper and as a Ray
+  ``AggregateFn``;
+- macro averages the per-block F1 (≙ per-document macro,
+  ``decao_eval.py:1205-1221``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+
+def pair_confusion(df: pd.DataFrame) -> dict:
+    """df needs boolean columns ``is_match`` (gold) and ``pred_match``."""
+    gold = df["is_match"].to_numpy(dtype=bool)
+    pred = df["pred_match"].to_numpy(dtype=bool)
+    tp = int((gold & pred).sum())
+    fp = int((~gold & pred).sum())
+    fn = int((gold & ~pred).sum())
+    tn = int((~gold & ~pred).sum())
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def micro_pairwise_f1(df: pd.DataFrame) -> dict:
+    c = pair_confusion(df)
+    p, r, f = prf(c["tp"], c["fp"], c["fn"])
+    return {**c, "precision": p, "recall": r, "f1": f}
+
+
+def macro_pairwise_f1(df: pd.DataFrame, block_col: str = "block_key") -> dict:
+    """Mean per-block F1 (blocks with no gold and no pred count as 1.0,
+    matching the prf() empty-set convention)."""
+    f1s = [micro_pairwise_f1(g)["f1"] for _, g in df.groupby(block_col, sort=True)]
+    return {"macro_f1": float(np.mean(f1s)) if f1s else 1.0,
+            "n_blocks": len(f1s)}
+
+
+def micro_f1_aggregate() -> AggregateFn:
+    """Distributed micro counters as a Ray AggregateFn
+    (init / accumulate-block / merge / finalize) — the scale path."""
+    def acc_block(acc, block):
+        df = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
+        c = pair_confusion(df)
+        return [acc[0] + c["tp"], acc[1] + c["fp"], acc[2] + c["fn"]]
+
+    return AggregateFn(
+        init=lambda k: [0, 0, 0],
+        accumulate_block=acc_block,
+        merge=lambda a, b: [a[0] + b[0], a[1] + b[1], a[2] + b[2]],
+        finalize=lambda a: list(prf(a[0], a[1], a[2])) + a,
+        name="micro_prf",
+    )
+
+
+def evaluate_clusters(pairs: ray.data.Dataset, clusters: ray.data.Dataset,
+                      truth: dict[int, int]) -> dict:
+    """Score predicted clusters against ground truth on the in-scope pair set.
+
+    ``pairs``: deduped candidate pairs (id_lo, id_hi, block_key, …) — the
+    labeled pair universe. ``truth``: row_id → true cluster id (ancestor),
+    broadcast-sized (evaluation corpora are small; the reference's gold sets
+    are too). Returns micro + macro metrics."""
+    cl = clusters.to_pandas()
+    label = dict(zip(cl["row_id"].to_numpy(), cl["cluster_id"].to_numpy()))
+
+    pdf = pairs.select_columns(["id_lo", "id_hi", "block_key"]).to_pandas()
+    lo = pdf["id_lo"].to_numpy()
+    hi = pdf["id_hi"].to_numpy()
+    pdf["is_match"] = np.array(
+        [truth.get(a) is not None and truth.get(a) == truth.get(b)
+         for a, b in zip(lo, hi)], dtype=bool)
+    pdf["pred_match"] = np.array(
+        [label.get(a) is not None and label.get(a) == label.get(b)
+         for a, b in zip(lo, hi)], dtype=bool)
+
+    out = micro_pairwise_f1(pdf)
+    out.update(macro_pairwise_f1(pdf))
+    out["n_pairs"] = len(pdf)
+    return out

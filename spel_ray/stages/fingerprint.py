@@ -1,0 +1,57 @@
+"""Stage 1 — normalize + fingerprint (the engine's M0 slice).
+
+Analog of the reference's unicode/Moses normalizer + vocab fingerprinting
+(reference ``utils.py:254-277``): here the normalizer collapses whitespace for
+shingling, and the fingerprint is ``sha256(content)`` — the per-row invariant
+the north_rule requires preserved through every stage.
+
+``row_id`` is derived (not positional): int63 from sha256(repo|path|commit),
+so it is stable across runs, partitionings and resumes. Note: 63-bit ids have
+birthday collisions around 10^9 rows; at true 10^12 scale switch ID_BITS to a
+128-bit decimal or keep the composite key — the pipeline only relies on ids
+being unique and orderable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _norm_ws(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Collapse whitespace runs to single spaces and trim — shingling view
+    only; sha256 is always over the raw content."""
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Arrow in / Arrow out: adds row_id, content_sha256, norm_content, n_chars."""
+    repo = batch["repo"].to_pylist()
+    path = batch["path"].to_pylist()
+    commit = batch["commit"].to_pylist()
+    content = batch["content"].to_pylist()
+
+    row_ids = np.empty(len(repo), dtype=np.int64)
+    shas = []
+    for i, (r, p, c, body) in enumerate(zip(repo, path, commit, content)):
+        key = f"{r}\x00{p}\x00{c}".encode()
+        row_ids[i] = int.from_bytes(hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        shas.append(hashlib.sha256((body or "").encode()).hexdigest())
+
+    out = batch.append_column("row_id", pa.array(row_ids, pa.int64()))
+    out = out.append_column("content_sha256", pa.array(shas, pa.string()))
+    out = out.append_column("norm_content", _norm_ws(batch["content"]))
+    out = out.append_column("n_chars", pc.cast(pc.utf8_length(batch["content"]), pa.int64()))
+    return out
+
+
+def fingerprint(ds: ray.data.Dataset, *, batch_size: int = 2048) -> ray.data.Dataset:
+    """Stateless map_batches — pure, zero-copy Arrow."""
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

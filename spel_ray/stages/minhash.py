@@ -1,0 +1,113 @@
+"""MinHash signatures + LSH band keys (vectorized, numpy-only).
+
+The engine analog of the reference's subword-level top-k candidate tagging
+over a fixed vocabulary (reference ``model.py:161-186``): a cheap per-record
+sketch whose collisions define the candidate set. A pair of records is a
+candidate iff they share at least one blocking key — exactly the reference's
+candidate-set restriction (``candidate_manager.py:76-103``).
+
+Implementation notes (all public-knowledge techniques — Broder '97 MinHash,
+Leskovec et al. MMDS ch.3 LSH banding):
+
+- char-k shingles are hashed with a vectorized polynomial rolling hash over
+  the UTF-8 bytes (sliding_window_view × power vector, uint64 wraparound);
+- ``num_perm`` permutations are the standard universal family
+  ``h_i(x) = a_i * x + b_i (mod 2^64)`` with seeded odd multipliers, applied
+  as one (P × S) numpy broadcast per row, min along shingles;
+- band keys are ``b{band}:{hash(sig[band*r:(band+1)*r])}`` so distinct bands
+  never collide with each other.
+
+Per-batch cost is one Python loop over rows with all inner work in numpy —
+the same shape as the reference's per-document tensor ops, and the loop body
+is O(len(content)) with small constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spel_ray.config import LinkageConfig
+
+_EMPTY_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+
+
+class MinHasher:
+    """Stateful sketcher: permutation tables built once (per actor / per
+    process), applied per batch. Usable directly as a map_batches callable."""
+
+    def __init__(self, cfg: LinkageConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        # odd multipliers for the universal hash family
+        self.A = (rng.integers(1, 2**63, size=cfg.num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.B = rng.integers(0, 2**63, size=cfg.num_perm, dtype=np.uint64)
+        k = cfg.shingle_k
+        # polynomial rolling-hash power vector (base 257, uint64 wraparound)
+        self.powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
+                               dtype=np.uint64)
+        self.band_pows = np.power(np.uint64(1099511628211),
+                                  np.arange(cfg.rows_per_band, dtype=np.uint64),
+                                  dtype=np.uint64)
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        """Unique uint64 hashes of the char-k shingles of ``text``."""
+        k = self.cfg.shingle_k
+        b = np.frombuffer(text.encode("utf-8", errors="ignore"), dtype=np.uint8)
+        if len(b) == 0:
+            return np.array([_EMPTY_SENTINEL], dtype=np.uint64)
+        if len(b) < k:
+            pad = np.zeros(k, dtype=np.uint8)
+            pad[: len(b)] = b
+            b = pad
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = (win * self.powers[None, :]).sum(axis=1, dtype=np.uint64)
+        # xorshift finalizer for better low-bit mixing
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return np.unique(h)
+
+    def signature(self, text: str) -> np.ndarray:
+        """(num_perm,) uint64 MinHash signature."""
+        h = self.shingle_hashes(text)
+        # (P, S) broadcast, min over shingles
+        m = self.A[:, None] * h[None, :] + self.B[:, None]
+        return m.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(bands,) uint64 — one hash per LSH band of the signature."""
+        cfg = self.cfg
+        bands = sig.reshape(cfg.bands, cfg.rows_per_band)
+        return (bands * self.band_pows[None, :]).sum(axis=1, dtype=np.uint64)
+
+    # --- map_batches entry: adds 'sig' (fixed-size binary) per row ---
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["norm_content"].to_pylist()
+        width = self.cfg.num_perm * 8
+        sigs = np.empty((len(texts), self.cfg.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t or "")
+        sig_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(texts), [None, pa.py_buffer(sigs.tobytes())]
+        )
+        return batch.append_column("sig", sig_col)
+
+
+def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """Zero-copy-ish view of a fixed_size_binary signature column as
+    (n, num_perm) uint64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    arr = np.frombuffer(buf, dtype=np.uint64)
+    # account for array offset into the buffer
+    off = col.offset * num_perm
+    n = len(col)
+    return arr[off: off + n * num_perm].reshape(n, num_perm)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Vectorized MinHash Jaccard estimate for aligned pair arrays
+    (n, num_perm) × (n, num_perm) → (n,) float64."""
+    return (sig_a == sig_b).mean(axis=1)

@@ -1,0 +1,136 @@
+"""Pair generation + first-pass scoring + duplicate-pair merge.
+
+The wide step of the pipeline (north_star's "salted groupby-aggregate shuffle
+colocating candidate pairs with explicit skew-splitting of hot keys").
+
+Design choices, for 100 TB:
+
+- **Score inside pair-gen.** The MinHash-Jaccard estimate needs only the two
+  signatures, which are already colocated in the block — so candidate pairs
+  are scored the moment they are formed, and only the slim scored edge
+  ``(id_lo, id_hi, block_key, jac, exact, score, capped)`` ever leaves the
+  bucket task. Signatures are never shuffled a second time.
+- **Skew cap.** A block with n ≤ ``max_block_pairs_n`` rows emits all C(n,2)
+  pairs. A hot block (boilerplate content, dense LSH band) emits a sorted
+  *chain* (r0,r1),(r1,r2)…: n-1 edges that preserve connectivity for
+  transitive clustering while bounding a hot key at O(n) instead of O(n²).
+  Chain pairs carry ``capped=True`` so the cap is observable, not silent.
+- **Duplicate-pair merge.** A true near-dup pair collides in many bands and
+  is emitted/scored once per shared block; the merge keeps max score / any
+  exact and counts supporting blocks — the engine's analog of the
+  reference's overlapping-chunk conflict vote (reference ``utils.py:230-251``,
+  ``:316-328``; deterministic: max, then lexicographic pair order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.scoring import score_pair_arrays
+from spel_ray.state.shuffle import bucketed_groupby, pair_key
+
+PAIR_COLS = ["id_lo", "id_hi", "block_key", "jac", "exact", "score", "capped"]
+
+
+def _gen_and_score_bucket(df: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
+    """One bucket of block rows → scored candidate pairs (vectorized)."""
+    if len(df) == 0:
+        return _empty_pairs()
+    df = df.sort_values(["block_key", "row_id"], kind="mergesort")
+    df = df.drop_duplicates(["block_key", "row_id"])
+    keys = df["block_key"].to_numpy()
+    # run-length group boundaries over the sorted keys
+    change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    sizes = np.diff(np.r_[change, len(keys)])
+
+    lo_idx: list[np.ndarray] = []
+    hi_idx: list[np.ndarray] = []
+    capped: list[np.ndarray] = []
+    cap = cfg.max_block_pairs_n
+    for start, n in zip(change, sizes):
+        if n < 2:
+            continue
+        if n <= cap:
+            a, b = np.triu_indices(n, k=1)
+            lo_idx.append(start + a)
+            hi_idx.append(start + b)
+            capped.append(np.zeros(len(a), dtype=bool))
+        else:  # hot block: connectivity chain, O(n) not O(n^2)
+            idx = start + np.arange(n - 1)
+            lo_idx.append(idx)
+            hi_idx.append(idx + 1)
+            capped.append(np.ones(n - 1, dtype=bool))
+    if not lo_idx:
+        return _empty_pairs()
+
+    lo = np.concatenate(lo_idx)
+    hi = np.concatenate(hi_idx)
+    cap_flag = np.concatenate(capped)
+
+    ids = df["row_id"].to_numpy()
+    sig_bytes = df["sig"].to_numpy()
+    sigs = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(
+        len(df), cfg.num_perm)
+    n_chars = df["n_chars"].to_numpy()
+    shas = df["content_sha256"].to_numpy()
+
+    jac, exact, score = score_pair_arrays(
+        sigs[lo], sigs[hi], n_chars[lo], n_chars[hi], shas[lo] == shas[hi])
+
+    return pd.DataFrame({
+        "id_lo": ids[lo], "id_hi": ids[hi],
+        "block_key": keys[lo],
+        "jac": jac, "exact": exact, "score": score, "capped": cap_flag,
+    })
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({
+        "id_lo": pd.Series(dtype="int64"), "id_hi": pd.Series(dtype="int64"),
+        "block_key": pd.Series(dtype="int64"),
+        "jac": pd.Series(dtype="float64"), "exact": pd.Series(dtype="bool"),
+        "score": pd.Series(dtype="float64"), "capped": pd.Series(dtype="bool"),
+    })
+
+
+def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One bucket of scored pairs → one row per (id_lo, id_hi)."""
+    if len(df) == 0:
+        df = _empty_pairs()
+        df["n_blocks"] = pd.Series(dtype="int64")
+        return df.drop(columns=["_pk"], errors="ignore")
+    g = df.groupby(["id_lo", "id_hi"], sort=False)
+    out = g.agg(
+        block_key=("block_key", "min"),
+        jac=("jac", "max"),
+        exact=("exact", "max"),
+        score=("score", "max"),
+        capped=("capped", "min"),   # uncapped evidence wins if any block was full
+        n_blocks=("block_key", "size"),
+    ).reset_index()
+    return out
+
+
+def scored_candidate_pairs(block_rows: ray.data.Dataset, cfg: LinkageConfig,
+                           *, num_buckets: int = 64) -> ray.data.Dataset:
+    """block rows → deduped scored candidate pairs.
+
+    Two bucketed shuffles: (1) by block_key for pair-gen+score, (2) by
+    pair hash for the duplicate merge."""
+    pairs = bucketed_groupby(block_rows, "block_key",
+                             lambda df: _gen_and_score_bucket(df, cfg),
+                             num_buckets=num_buckets)
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = pair_key(df["id_lo"].to_numpy(), df["id_hi"].to_numpy())
+        return df
+
+    keyed = pairs.map_batches(add_pk, batch_format="pandas")
+    merged = bucketed_groupby(keyed, "_pk",
+                              lambda df: _merge_bucket(df.drop(columns=["_pk"])),
+                              num_buckets=num_buckets)
+    return merged

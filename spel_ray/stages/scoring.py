@@ -1,0 +1,198 @@
+"""Pair scoring — cheap sketch pass + exact verifier for the borderline band.
+
+Two-tier design (the engine's T1 scorer analog, reference
+``model.py:161-192``):
+
+1. **Sketch score** (``score_pair_arrays``) — pure numpy over colocated pair
+   features: MinHash-Jaccard estimate, sha256 equality, length ratio. Runs
+   inside the pair-gen bucket task; costs O(num_perm) per pair.
+2. **Exact verifier** (``verify_borderline``) — only pairs whose sketch score
+   lands in ``[verify_low, verify_high)`` are re-joined with their content
+   (hash join on row id; the borderline band is a small fraction, so content
+   is only ever shuffled for those) and re-scored by an actor-pool stage with
+   token-set Jaccard + Jaro-Winkler over a normalized prefix — setup (regex
+   compile) once per actor, work per batch.
+
+Determinism: all tie-breaks are numeric max / lexicographic pair order, so a
+rerun reproduces identical edges (≙ reference's deterministic conflict vote,
+``utils.py:316-328``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.functions.strings import jaro_winkler_pairs, token_jaccard_pairs
+
+
+def score_pair_arrays(sig_lo: np.ndarray, sig_hi: np.ndarray,
+                      n_lo: np.ndarray, n_hi: np.ndarray,
+                      sha_eq: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized sketch score. Returns (jac_est, exact, score)."""
+    jac = (sig_lo == sig_hi).mean(axis=1)
+    n_lo = n_lo.astype(np.float64)
+    n_hi = n_hi.astype(np.float64)
+    denom = np.maximum(np.maximum(n_lo, n_hi), 1.0)
+    len_ratio = np.minimum(n_lo, n_hi) / denom
+    exact = np.asarray(sha_eq, dtype=bool)
+    # length ratio softly gates the jaccard estimate: two files whose sizes
+    # differ wildly should not cluster on a lucky band collision.
+    score = np.where(exact, 1.0, jac * (0.8 + 0.2 * len_ratio))
+    return jac, exact, score
+
+
+class BorderlineVerifier:
+    """Actor-pool stage: exact re-score of borderline pairs given contents."""
+
+    def __init__(self, cfg: LinkageConfig):
+        import re
+        self.cfg = cfg
+        self.token_re = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+")
+        self.prefix = 256
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["content_lo"].fillna("").tolist()
+        b = batch["content_hi"].fillna("").tolist()
+        tok_jac = token_jaccard_pairs(a, b, self.token_re)
+        jw = jaro_winkler_pairs([s[: self.prefix] for s in a],
+                                [s[: self.prefix] for s in b])
+        verified = 0.7 * tok_jac + 0.3 * jw
+        out = batch.drop(columns=["content_lo", "content_hi"]).copy()
+        out["score"] = np.maximum(verified, batch["exact"].to_numpy().astype(float))
+        out["verified"] = True
+        return out
+
+
+def _bucketed_content_join(left: ray.data.Dataset, records: ray.data.Dataset,
+                           id_col: str, out_col: str,
+                           num_buckets: int) -> ray.data.Dataset:
+    """Distributed hash join of ``left[id_col]`` against
+    ``records(row_id, norm_content)`` → adds ``out_col``.
+
+    Built on the engine's bucketed shuffle instead of actor-based hash join:
+    both sides are union'd under an aligned schema with a ``_side`` tag,
+    bucketed by the join key, and each bucket resolves the lookup with one
+    pandas dict probe. Deterministic resource footprint at any CPU count."""
+    import pyarrow as pa
+
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    sch = left.schema()  # ray.data Schema wrapper: .names + .types
+    if sch is None:      # empty left (e.g. no borderline pairs): nothing to join
+        return left
+    left_names = list(sch.names)
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)  # pandas-backed blocks
+        if dt == np.dtype(object):
+            return pa.string()  # object columns here are always strings
+        return pa.from_numpy_dtype(dt)
+
+    left_types = {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = batch.append_column("_jk", batch[id_col])
+        out = out.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
+        return out.append_column(out_col, pa.nulls(n, pa.string()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"_jk": batch["row_id"],
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                out_col: batch["norm_content"]}
+        for name in left_names:
+            cols[name] = pa.nulls(n, left_types[name])
+        order = left_names + ["_jk", "_side", out_col]
+        return pa.table({k: cols[k] for k in order})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = records.select_columns(["row_id", "norm_content"]).map_batches(
+        tag_right, batch_format="pyarrow")
+
+    def resolve(t: pa.Table) -> pa.Table:
+        # pure-Arrow resolve: null int64 ids must never round-trip through
+        # pandas (float64 promotion corrupts large ids)
+        import pyarrow.compute as pc
+
+        side = t["_side"]
+        right = t.filter(pc.equal(side, 1))
+        lookup = dict(zip(right["_jk"].to_pylist(),
+                          right[out_col].to_pylist()))
+        left_rows = t.filter(pc.equal(side, 0))
+        vals = [lookup.get(k) for k in left_rows["_jk"].to_pylist()]
+        out = left_rows.select(left_names)
+        return out.append_column(out_col, pa.array(vals, pa.string()))
+
+    return bucketed_groupby(lt.union(rt), "_jk", resolve,
+                            num_buckets=num_buckets, batch_format="pyarrow")
+
+
+def verify_borderline(pairs: ray.data.Dataset, records: ray.data.Dataset,
+                      cfg: LinkageConfig, *, num_buckets: int = 32
+                      ) -> ray.data.Dataset:
+    """Split pairs into pass-through and borderline; hash-join borderline with
+    record content (bucketed join), verify, union back.
+
+    ``records`` must carry (row_id, norm_content)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pairs.schema() is None:   # no candidate pairs at all (tiny inputs)
+        return pairs
+
+    lo, hi = cfg.verify_low, cfg.verify_high
+
+    def split(batch: pa.Table, want_border: bool) -> pa.Table:
+        s = batch["score"]
+        border = pc.and_(pc.greater_equal(s, lo), pc.less(s, hi))
+        m = border if want_border else pc.invert(border)
+        return batch.filter(m)
+
+    passthrough = pairs.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+
+    def mark_unverified(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "verified", pa.array(np.zeros(batch.num_rows, dtype=bool)))
+
+    passthrough = passthrough.map_batches(mark_unverified, batch_format="pyarrow")
+
+    border = pairs.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    j1 = _bucketed_content_join(border, records, "id_lo", "content_lo",
+                                num_buckets)
+    j2 = _bucketed_content_join(j1, records, "id_hi", "content_hi",
+                                num_buckets)
+
+    # autoscaling pool (1, N): never reserves every CPU on a small node, so
+    # upstream stages can't be starved into a scheduling deadlock
+    verified = j2.map_batches(BorderlineVerifier, fn_constructor_args=(cfg,),
+                              batch_format="pandas",
+                              batch_size=cfg.pair_batch_size,
+                              concurrency=(1, cfg.scorer_concurrency))
+    # align column order and block type (Arrow) before union
+    cols = sorted(set(passthrough.columns()))
+    passthrough = passthrough.select_columns(cols)
+    verified = verified.select_columns(cols).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    return passthrough.union(verified)
+
+
+def edges_from_pairs(pairs: ray.data.Dataset, cfg: LinkageConfig) -> ray.data.Dataset:
+    """Thresholded edges (lo, hi) for transitive clustering."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    thr = cfg.score_threshold
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.greater_equal(batch["score"], thr), batch["exact"])
+        t = batch.filter(keep)
+        return pa.table({"lo": t["id_lo"], "hi": t["id_hi"]})
+
+    return pairs.map_batches(filt, batch_format="pyarrow")

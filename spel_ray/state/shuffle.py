@@ -1,0 +1,78 @@
+"""Bucketed-shuffle primitive — the engine's one wide-exchange pattern.
+
+``groupby(key).map_groups(fn)`` calls ``fn`` once per distinct key; with
+millions of tiny groups (LSH blocks, pair keys, graph nodes) the per-group
+Python overhead dominates. Instead every wide step here goes through
+``bucketed_groupby``: key → ``hash(key) % num_buckets`` → one shuffle on the
+small, uniform bucket id → ``fn`` receives an entire bucket as ONE pandas
+DataFrame and handles all its groups vectorized (C-speed pandas/numpy
+groupby). This is the "salted groupby-aggregate shuffle" of the north_star:
+
+- uniformity: keys are already uint64 hashes, so ``key % B`` load-balances;
+- skew: a single hot key still lands in one bucket — per-key work is bounded
+  by the caller's cap (see pairs.py), never by data size;
+- sizing: ``num_buckets`` scales with input size so one bucket fits a task's
+  heap (rows_per_bucket ≈ total_rows / B). At cluster scale set
+  B ≈ 2-4 × total_cores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def add_bucket_column(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
+    """int64 key column → uniform bucket id in [0, num_buckets)."""
+    k = batch[key_col].combine_chunks() if isinstance(batch[key_col], pa.ChunkedArray) else batch[key_col]
+    arr = np.asarray(k, dtype=np.int64).view(np.uint64).copy()
+    arr *= _MIX
+    arr ^= arr >> np.uint64(29)
+    bucket = (arr % np.uint64(num_buckets)).astype(np.int64)
+    return batch.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+
+def bucketed_groupby(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fn: Callable,
+    *,
+    num_buckets: int = 64,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """Shuffle rows by hash(key) into ``num_buckets`` groups; ``fn`` gets each
+    bucket as one DataFrame / Arrow table (bucket column removed) and must
+    itself group by ``key_col`` vectorized.
+
+    Use ``batch_format="pyarrow"`` whenever a bucket may contain null int64
+    ids — the pandas conversion would silently promote those columns to
+    float64 and corrupt large ids."""
+    with_bucket = ds.map_batches(
+        lambda b, c=key_col, n=num_buckets: add_bucket_column(b, c, n),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    if batch_format == "pyarrow":
+        def run(bucket: pa.Table):
+            return fn(bucket.drop_columns(["_bucket"]))
+    else:
+        def run(bucket: pd.DataFrame):
+            return fn(bucket.drop(columns=["_bucket"]))
+
+    return with_bucket.groupby("_bucket").map_groups(
+        run, batch_format=batch_format)
+
+
+def pair_key(id_lo: np.ndarray, id_hi: np.ndarray) -> np.ndarray:
+    """Deterministic int64 key for an id pair (for pair-level bucketing)."""
+    a = id_lo.astype(np.int64).view(np.uint64) * _MIX
+    b = id_hi.astype(np.int64).view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h = a ^ (b >> np.uint64(1))
+    h ^= h >> np.uint64(31)
+    return h.view(np.int64)

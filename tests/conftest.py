@@ -1,0 +1,36 @@
+import hashlib
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+def row_id_of(repo: str, path: str, commit: str) -> int:
+    """Mirror of spel_ray.stages.fingerprint row-id derivation, for truth maps."""
+    key = f"{repo}\x00{path}\x00{commit}".encode()
+    return int.from_bytes(hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+@pytest.fixture(scope="session")
+def tiny_code_table():
+    """200-row deterministic labeled corpus (FIXTURES.md 'tiny')."""
+    from spel_ray.sources.synth import generate_code_table
+    return generate_code_table(200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def small_code_table():
+    """1000-row labeled corpus for the e2e F1 gate."""
+    from spel_ray.sources.synth import generate_code_table
+    return generate_code_table(1000, seed=7)

@@ -1,0 +1,44 @@
+"""Checkpoint/resume: a completed stage is read back, not recomputed."""
+
+import json
+
+import pandas as pd
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.state.checkpoint import CheckpointedRun
+
+
+def test_stage_checkpoint_and_resume(tmp_path):
+    cfg = LinkageConfig()
+    ckpt = CheckpointedRun(str(tmp_path), cfg)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return rd.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+
+    out1 = ckpt.run_stage("s1", make).to_pandas()
+    assert calls["n"] == 1
+    man = json.loads((tmp_path / "s1" / "manifest.json").read_text())
+    assert man["complete"] and man["rows"] == 3 and man["stage"] == "s1"
+    assert man["config"] == cfg.fingerprint()
+
+    # second run: resumed from parquet, fn not called again
+    ckpt2 = CheckpointedRun(str(tmp_path), cfg)
+    out2 = ckpt2.run_stage("s1", make).to_pandas()
+    assert calls["n"] == 1
+    assert sorted(out2["a"]) == sorted(out1["a"]) == [1, 2, 3]
+
+
+def test_config_change_invalidates(tmp_path):
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return rd.from_pandas(pd.DataFrame({"a": [1]}))
+
+    CheckpointedRun(str(tmp_path), LinkageConfig()).run_stage("s", make)
+    CheckpointedRun(str(tmp_path),
+                    LinkageConfig(score_threshold=0.9)).run_stage("s", make)
+    assert calls["n"] == 2

@@ -1,0 +1,56 @@
+"""Connected-components fixtures (FIXTURES.md §5: path, star, two disjoint
+cliques, cycle → min-label convergence)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from spel_ray.stages.clustering import assign_clusters, connected_components
+
+
+def _components(edge_list, nodes=None):
+    edges = rd.from_pandas(pd.DataFrame(edge_list, columns=["lo", "hi"]))
+    star = connected_components(edges, num_buckets=4)
+    all_nodes = sorted({n for e in edge_list for n in e} | set(nodes or []))
+    recs = rd.from_pandas(pd.DataFrame({"row_id": all_nodes}))
+    out = assign_clusters(recs, star, num_buckets=4).to_pandas()
+    return dict(zip(out["row_id"], out["cluster_id"]))
+
+
+def test_path():
+    lab = _components([(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert all(v == 1 for v in lab.values())
+
+
+def test_star():
+    lab = _components([(10, 50), (10, 60), (10, 70)])
+    assert set(lab.values()) == {10}
+
+
+def test_two_cliques_and_singleton():
+    cl1 = [(1, 2), (1, 3), (2, 3)]
+    cl2 = [(7, 8), (7, 9), (8, 9)]
+    lab = _components(cl1 + cl2, nodes=[42])
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[7] == lab[8] == lab[9] == 7
+    assert lab[42] == 42
+
+
+def test_cycle():
+    lab = _components([(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert set(lab.values()) == {1}
+
+
+def test_long_path_converges_fast():
+    n = 64
+    lab = _components([(i, i + 1) for i in range(1, n)])
+    assert set(lab.values()) == {1}
+
+
+def test_empty_edges():
+    edges = rd.from_pandas(pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                         "hi": pd.Series(dtype="int64")}))
+    star = connected_components(edges, num_buckets=4)
+    recs = rd.from_pandas(pd.DataFrame({"row_id": [5, 6]}))
+    out = assign_clusters(recs, star, num_buckets=4).to_pandas()
+    assert dict(zip(out["row_id"], out["cluster_id"])) == {5: 5, 6: 6}

@@ -1,0 +1,75 @@
+"""End-to-end F1 gate + per-row sha256 invariant (SURVEY.md §5, north_rule).
+
+The engine analog of the reference's AIDA-CoNLL evaluation harness
+(``evaluate_local.py:79-109``): cluster the deterministic labeled corpus and
+require pairwise F1 ≥ 0.99 on labeled pairs sharing a blocking key."""
+
+import hashlib
+
+import pytest
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.pipelines.linkage import run_linkage
+from spel_ray.stages.evaluate import evaluate_clusters
+from tests.conftest import row_id_of
+
+
+def _truth_map(table):
+    return {
+        row_id_of(r, p, c): a
+        for r, p, c, a in zip(table["repo"].to_pylist(),
+                              table["path"].to_pylist(),
+                              table["commit"].to_pylist(),
+                              table["ancestor_id"].to_pylist())
+    }
+
+
+@pytest.fixture(scope="module")
+def linkage_result(small_code_table):
+    ds = rd.from_arrow(small_code_table.drop_columns(["ancestor_id"]))
+    return run_linkage(ds, LinkageConfig(), num_buckets=8)
+
+
+def test_pairwise_f1_gate(small_code_table, linkage_result):
+    truth = _truth_map(small_code_table)
+    m = evaluate_clusters(linkage_result.pairs, linkage_result.clusters, truth)
+    assert m["n_pairs"] > 100
+    assert m["f1"] >= 0.99, m
+    assert m["macro_f1"] >= 0.99, m
+
+
+def test_sha256_invariant(small_code_table, linkage_result):
+    """content sha256 computed by the pipeline == independent recomputation."""
+    recs = linkage_result.records.select_columns(
+        ["row_id", "content_sha256"]).to_pandas()
+    got = dict(zip(recs["row_id"], recs["content_sha256"]))
+    for r, p, c, body in zip(small_code_table["repo"].to_pylist(),
+                             small_code_table["path"].to_pylist(),
+                             small_code_table["commit"].to_pylist(),
+                             small_code_table["content"].to_pylist()):
+        rid = row_id_of(r, p, c)
+        assert got[rid] == hashlib.sha256(body.encode()).hexdigest()
+
+
+def test_every_record_assigned(small_code_table, linkage_result):
+    cl = linkage_result.clusters.to_pandas()
+    assert len(cl) == small_code_table.num_rows
+    assert cl["row_id"].is_unique
+    # canonical-representative rule: cluster id is a member row id ≤ all members
+    assert (cl.groupby("cluster_id")["row_id"].min().to_numpy()
+            == sorted(cl["cluster_id"].unique())).all()
+
+
+def test_exact_duplicates_always_cluster(small_code_table, linkage_result):
+    """rows with identical content must share a cluster (exact key path)."""
+    import pandas as pd
+    t = small_code_table.to_pandas()
+    t["rid"] = [row_id_of(r, p, c) for r, p, c in
+                zip(t["repo"], t["path"], t["commit"])]
+    cl = linkage_result.clusters.to_pandas()
+    lab = dict(zip(cl["row_id"], cl["cluster_id"]))
+    dup = t.groupby("content")["rid"].agg(list)
+    for rids in dup[dup.str.len() >= 2]:
+        labels = {lab[r] for r in rids}
+        assert len(labels) == 1

@@ -1,0 +1,66 @@
+"""MinHash / LSH unit fixtures (FIXTURES.md §5: 6 hand-written strings with
+known shared shingles; band collisions for the near-duplicates only)."""
+
+import numpy as np
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.minhash import MinHasher
+
+CFG = LinkageConfig()
+
+S = [
+    "def load_table(path): return read_parquet(path)  # loader",
+    "def load_table(path): return read_parquet(path)  # loader v2",   # near-dup of 0
+    "class StreamMerger: pass",
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumped over the lazy dogs",                  # near-dup of 3
+    "completely unrelated content with no shared shingles at all!!",
+]
+
+
+def test_signature_deterministic():
+    mh = MinHasher(CFG)
+    a = mh.signature(S[0])
+    b = MinHasher(CFG).signature(S[0])
+    assert (a == b).all()
+    assert a.dtype == np.uint64 and a.shape == (CFG.num_perm,)
+
+
+def test_jaccard_estimates_order():
+    mh = MinHasher(CFG)
+    sig = [mh.signature(s) for s in S]
+
+    def est(i, j):
+        return (sig[i] == sig[j]).mean()
+
+    assert est(0, 1) > 0.7
+    assert est(3, 4) > 0.5
+    assert est(0, 2) < 0.2
+    assert est(3, 5) < 0.2
+    assert est(0, 0) == 1.0
+
+
+def test_band_collisions_near_dups_only():
+    mh = MinHasher(CFG)
+    bands = [set(map(int, mh.band_hashes(mh.signature(s)) *
+                     np.arange(1, CFG.bands + 1, dtype=np.uint64)))
+             for s in S]
+    # near-dup pairs share at least one (band, hash); use positioned hashes
+    def share(i, j):
+        bi = mh.band_hashes(mh.signature(S[i]))
+        bj = mh.band_hashes(mh.signature(S[j]))
+        return bool((bi == bj).any())
+
+    assert share(0, 1)
+    assert share(3, 4)
+    assert not share(0, 3)
+    assert not share(2, 5)
+    assert not share(0, 5)
+
+
+def test_short_and_empty_strings():
+    mh = MinHasher(CFG)
+    for s in ["", "a", "ab", "abcdef"]:
+        sig = mh.signature(s)
+        assert sig.shape == (CFG.num_perm,)
+        assert (sig == MinHasher(CFG).signature(s)).all()

@@ -1,0 +1,70 @@
+"""Pair generation: all-pairs for small blocks, chain for hot blocks,
+duplicate-pair merge vote (FIXTURES.md §5 overlap-merge fixture)."""
+
+import numpy as np
+import pandas as pd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.pairs import _gen_and_score_bucket, _merge_bucket
+
+CFG = LinkageConfig(max_block_pairs_n=4)
+
+
+def _block_rows(block_key, ids, sig_fill):
+    sig = np.full(CFG.num_perm, sig_fill, dtype=np.uint64).tobytes()
+    return pd.DataFrame({
+        "block_key": np.full(len(ids), block_key, dtype=np.int64),
+        "row_id": np.array(ids, dtype=np.int64),
+        "sig": [sig] * len(ids),
+        "n_chars": np.full(len(ids), 100, dtype=np.int64),
+        "lang": ["python"] * len(ids),
+        "content_sha256": ["x" * 64] * len(ids),
+    })
+
+
+def test_all_pairs_small_block():
+    df = _block_rows(1, [30, 10, 20], 7)
+    out = _gen_and_score_bucket(df, CFG)
+    got = set(zip(out["id_lo"], out["id_hi"]))
+    assert got == {(10, 20), (10, 30), (20, 30)}
+    assert not out["capped"].any()
+    # identical sigs + identical sha → exact, score 1.0
+    assert out["exact"].all() and (out["score"] == 1.0).all()
+
+
+def test_hot_block_chain_cap():
+    ids = list(range(100, 110))  # n=10 > cap=4
+    out = _gen_and_score_bucket(_block_rows(2, ids, 3), CFG)
+    assert len(out) == 9  # chain, not C(10,2)=45
+    assert out["capped"].all()
+    got = sorted(zip(out["id_lo"], out["id_hi"]))
+    assert got == [(i, i + 1) for i in range(100, 109)]
+
+
+def test_singleton_block_no_pairs():
+    out = _gen_and_score_bucket(_block_rows(3, [5], 1), CFG)
+    assert len(out) == 0
+
+
+def test_multiple_blocks_in_bucket():
+    df = pd.concat([_block_rows(1, [1, 2], 7), _block_rows(2, [8, 9], 9)],
+                   ignore_index=True)
+    out = _gen_and_score_bucket(df, CFG)
+    assert set(zip(out["id_lo"], out["id_hi"])) == {(1, 2), (8, 9)}
+
+
+def test_merge_vote_max_score_wins():
+    df = pd.DataFrame({
+        "id_lo": [1, 1, 1, 3], "id_hi": [2, 2, 2, 4],
+        "block_key": [11, 12, 13, 20],
+        "jac": [0.5, 0.9, 0.7, 0.2],
+        "exact": [False, False, True, False],
+        "score": [0.5, 0.9, 1.0, 0.2],
+        "capped": [True, False, False, False],
+    })
+    out = _merge_bucket(df).set_index(["id_lo", "id_hi"])
+    r = out.loc[(1, 2)]
+    assert r["score"] == 1.0 and r["jac"] == 0.9 and bool(r["exact"])
+    assert r["n_blocks"] == 3
+    assert not bool(r["capped"])  # uncapped evidence exists
+    assert out.loc[(3, 4)]["n_blocks"] == 1

@@ -1,0 +1,42 @@
+"""String kernels — golden values from the published definitions."""
+
+import pytest
+
+from spel_ray.functions.strings import (
+    jaro, jaro_winkler, levenshtein, levenshtein_ratio, token_jaccard_pairs)
+
+
+def test_jaro_winkler_golden():
+    # classic Winkler (1990) examples
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("", "") == 1.0
+    assert jaro_winkler("abc", "") == 0.0
+
+
+def test_jaro_symmetry():
+    assert jaro("crate", "trace") == pytest.approx(jaro("trace", "crate"))
+
+
+def test_levenshtein_golden():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("flaw", "lawn") == 2
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("abcdef", "azced") == 3
+
+
+def test_levenshtein_ratio():
+    assert levenshtein_ratio("", "") == 1.0
+    assert levenshtein_ratio("abcd", "abcd") == 1.0
+    assert 0.0 <= levenshtein_ratio("abcd", "wxyz") <= 0.25
+
+
+def test_token_jaccard():
+    out = token_jaccard_pairs(
+        ["def f(x): return x", "def f(x): return x", ""],
+        ["def f(y): return y", "def f(x): return x", ""])
+    assert out[1] == 1.0
+    assert 0 < out[0] < 1
+    assert out[2] == 1.0

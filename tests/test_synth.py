@@ -1,0 +1,42 @@
+"""Synthetic corpus generator (FIXTURES.md §1)."""
+
+from spel_ray.sources.synth import generate_code_table
+
+EXPECTED_COLS = ["repo", "path", "commit", "lang", "content", "ancestor_id"]
+
+
+def test_schema_and_determinism():
+    a = generate_code_table(150, seed=42)
+    b = generate_code_table(150, seed=42)
+    assert a.column_names == EXPECTED_COLS
+    assert a.equals(b)
+
+
+def test_different_seed_differs():
+    a = generate_code_table(100, seed=1)
+    b = generate_code_table(100, seed=2)
+    assert not a.equals(b)
+
+
+def test_clusters_and_near_dups(tiny_code_table):
+    t = tiny_code_table
+    anc = t["ancestor_id"].to_pylist()
+    contents = t["content"].to_pylist()
+    langs = set(t["lang"].to_pylist())
+    assert len(set(anc)) > 10
+    assert langs <= {"python", "java", "go", "js", "rust"}
+    # members of one cluster are near but usually not identical
+    by_anc = {}
+    for a, c in zip(anc, contents):
+        by_anc.setdefault(a, []).append(c)
+    multi = [v for v in by_anc.values() if len(v) >= 2]
+    assert multi, "expected at least one multi-member cluster"
+    # ancestors are 50-4000 chars; edits may shrink a variant slightly
+    assert all(10 <= len(c) <= 4000 for c in contents if c)
+
+
+def test_boilerplate_hot_cluster():
+    t = generate_code_table(1000, seed=42)
+    anc = t["ancestor_id"].to_pylist()
+    hot = max(anc)
+    assert anc.count(hot) >= 30  # the deliberate hot block
