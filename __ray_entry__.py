@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the spel_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship linkage pipeline (blocking → pairwise scoring →
+  transitive clustering) over sf0.001's ``documents`` adapted to the code
+  table schema.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operator set).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset;
+  the rest are rows-only checks (MinHash/SimHash/LSH/heuristics).
 """
 
 from __future__ import annotations
@@ -18,27 +17,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: near-dup clustering of documents."""
+    from spel_ray.config import LinkageConfig
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+
+    ds = documents_as_code_table(SF_DEFAULT)
+    res = run_linkage(ds, LinkageConfig(), num_buckets=16)
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spel_ray.pipelines import driver_queries as dq
+    from spel_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator surface (oracled)
+        "lineitem_agg": rel.q_lineitem_agg,
+        "orders_by_month": rel.q_orders_by_month,
+        "filter_project": rel.q_filter_project,
+        "customer_nation": rel.q_customer_nation,
+        "orders_customer_join": rel.q_orders_customer_join,
+        "top_orders": rel.q_top_orders,
+        "events_window": rel.q_events_window,
+        "distinct_flags": rel.q_distinct_flags,
+        "part_type_stats": rel.q_part_type_stats,
+        "topk_per_group": dq.q_topk_per_group,
+        "union_names": dq.q_union_names,
+        "sessionize": dq.q_sessionize,
+        # documents / training-data operators
+        "exact_dedup_docs": dq.q_exact_dedup_docs,
+        "token_counts": dq.q_token_counts,
+        "doc_lengths": dq.q_doc_lengths,
+        "lang_distribution": dq.q_lang_distribution,
+        "langid": dq.q_langid,                       # rows-only
+        "quality": dq.q_quality,                     # rows-only
+        "doc_fingerprints": dq.q_doc_fingerprints,   # rows-only
+        "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
+        "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
+        "candidate_resolution": dq.q_candidate_resolution,   # rows-only
+        # embeddings
+        "ann_topk": dq.q_ann_topk,
+        "ann_topk_lsh": dq.q_ann_topk_lsh,           # rows-only (approximate)
+        "embedding_neardup": dq.q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity > 30.0 AND l_discount < 0.05
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "customer_nation": """
+            SELECT n.n_name, r.r_name,
+                   ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name, r.r_name
+            ORDER BY n.n_name, r.r_name
+        """,
+        "orders_customer_join": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "events_window": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS window_hour,
+                   ROUND(SUM(value), 2) AS total_value,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   ROUND(MIN(p_retailprice), 2) AS min_price,
+                   ROUND(MAX(p_retailprice), 2) AS max_price,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size,
+                   COUNT(*) AS n_parts
+            FROM part
+            GROUP BY p_type
+            ORDER BY p_type
+        """,
+        "topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+            ORDER BY l_returnflag, l_orderkey, l_linenumber
+        """,
+        "union_names": """
+            SELECT name FROM (
+                SELECT r_name AS name FROM region
+                UNION ALL
+                SELECT n_name AS name FROM nation
+            ) ORDER BY name
+        """,
+        "sessionize": """
+            SELECT user_id, COUNT(*) AS n_sessions FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (SELECT user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 AS prev_ts
+                      FROM events)
+            ) WHERE new_session = 1
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens_ws
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "doc_lengths": """
+            SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+            FROM documents
+            WHERE length(text) > 100
+            ORDER BY doc_id
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id < 5
+            )
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(q.embedding, e.embedding), 5)
+                       AS cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id) AS BIGINT) AS rank
+            FROM q CROSS JOIN embeddings e
+            QUALIFY rank <= 10
+            ORDER BY q.query_id, rank
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 5)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ORDER BY id_lo, id_hi
+        """,
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness.
+
+Headline: the flagship linkage pipeline (blocking → pairwise scoring →
+transitive clustering) over the deterministic synthetic code table
+(FIXTURES.md 'bench' size, cached as Parquet so generation never lands in the
+timed region). Reported value is wall seconds; ``pairs_per_sec`` is the
+north_rule throughput metric (scored candidate pairs / headline seconds).
+
+Also times a representative slice of the relational/operator queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the headline twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same cached input and reports both
+throughputs plus scaling efficiency ``(t8/t32)/4`` — the sandbox stand-in for
+the north_rule's N vs 4N cluster-size comparison.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "200000"))
+BENCH_SEED = 42
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import read_code_table
+    from spel_ray.sources.synth import synth_parquet_path
+
+    path = synth_parquet_path(BENCH_ROWS, seed=BENCH_SEED)
+
+    # warm the page cache AND spin up the worker pool so the timed run
+    # measures compute + shuffle (a bare count() uses the metadata fast path
+    # and would leave worker spawn inside the timed region)
+    read_code_table(path).map_batches(
+        lambda t: t.select(["lang"]), batch_format="pyarrow").count()
+
+    num_buckets = max(32, NUM_CPUS * 2)
+    blocks = NUM_CPUS * 3
+    t0 = time.time()
+    res = run_linkage(read_code_table(path, override_num_blocks=blocks),
+                      LinkageConfig(), num_buckets=num_buckets)
+    n_pairs = res.pairs.count()
+    out_dir = f"/tmp/spel_ray_bench/clusters_{NUM_CPUS}"
+    res.clusters.write_parquet(out_dir)
+    headline = time.time() - t0
+
+    queries: dict[str, float] = {"linkage_bench": round(headline, 3)}
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ["lineitem_agg", "orders_customer_join", "events_window",
+                 "top_orders", "exact_dedup_docs", "minhash_dedup_docs",
+                 "ann_topk", "sessionize"]:
+        t0 = time.time()
+        qs[name](SF_DIR)
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "linkage_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "pairs_scored": n_pairs,
+        "pairs_per_sec": round(n_pairs / headline, 1),
+    }
+
+
+def _hw_work(i: int) -> float:
+    import numpy as np
+    rng = np.random.default_rng(i)
+    a = rng.standard_normal((500, 500))
+    s = 0.0
+    for _ in range(20):
+        a = a @ a / 500.0
+        s += float(a[0, 0])
+    return s
+
+
+def _hw_ceiling(n_lo: int = 8, n_hi: int = 32) -> float:
+    """Measure what THIS box actually delivers for embarrassingly-parallel
+    CPU work at the two levels (pure multiprocessing matmuls, no Ray).
+    Shared-host vCPUs routinely deliver < n_hi/n_lo× the throughput — the
+    ceiling contextualizes the engine's efficiency number."""
+    import multiprocessing as mp
+
+    def bench(nproc, ntask=64):
+        with mp.Pool(nproc) as p:
+            p.map(_hw_work, range(nproc))   # warm
+            t0 = time.time()
+            p.map(_hw_work, range(ntask))
+            return time.time() - t0
+
+    t_lo, t_hi = bench(n_lo), bench(n_hi)
+    return (t_lo / t_hi) / (n_hi / n_lo)
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    pps_lo = lo["pairs_per_sec"]
+    pps_hi = hi["pairs_per_sec"]
+    eff = (pps_hi / pps_lo) / (32 / 8)
+    hw = _hw_ceiling(8, 32)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pairs_per_sec_8": pps_lo, "pairs_per_sec_32": pps_hi,
+        "hw_ceiling_efficiency": round(hw, 3),
+        "hw_normalized_efficiency": round(min(eff / hw, 1.0), 3)
+        if hw > 0 else None,
+        "bench_rows": lo["bench_rows"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

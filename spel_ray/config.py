@@ -28,6 +28,7 @@ class LinkageConfig:
     num_perm: int = 64              # MinHash permutations = bands * rows_per_band
     bands: int = 16                 # LSH bands; pair collides if any band matches
     rows_per_band: int = 4
+    num_perm_tok: int = 24          # word-token MinHash (cheap in-block verifier)
     seed: int = 42
 
     # --- exact blocking ---
@@ -41,18 +42,31 @@ class LinkageConfig:
     # clustering while bounding a hot key's output at O(n) instead of O(n^2).
 
     # --- scoring ---
-    score_threshold: float = 0.62   # combined score >= threshold -> edge
+    score_threshold: float = 0.42   # combined score >= threshold -> edge
+    # (calibrated on the labeled fixture: non-match scores top out ~0.28,
+    # match scores bottom out ~0.52 — 0.42 splits with margin on both sides)
+    char_weight: float = 0.6        # char-shingle jaccard weight in the blend
+    tok_weight: float = 0.4         # token jaccard weight
     verify_low: float = 0.35        # borderline band sent to the exact verifier
     verify_high: float = 0.80
-    use_verifier: bool = True
+    use_verifier: bool = False      # exact content verifier (actor pool +
+    # content join) — opt-in precision pass; the default pipeline verifies
+    # with the colocated token MinHash instead (no extra shuffle)
 
     # --- clustering ---
-    max_cc_rounds: int = 50         # safety bound on large/small-star rounds
+    max_cc_rounds: int = 50         # safety bound on fixpoint rounds
+    cc_driver_threshold: int = 5_000_000   # edge sets below this run driver-side
+    # union-find (edges are 16 bytes each — 5M edges = 80 MB); above it the
+    # distributed hash-to-min rounds take over
 
     # --- execution ---
     batch_size: int = 2048          # rows per map_batches call for sketching
-    pair_batch_size: int = 8192     # pairs per scoring batch
-    scorer_concurrency: int = 4     # actor-pool size for the verifier stage
+    pair_batch_size: int = 2048     # pairs per verifier batch
+    scorer_concurrency: int = 16    # verifier actor-pool MAX (autoscales from 1)
+    pin_records: bool = True        # materialize fingerprinted records so the
+    # verifier join and cluster assignment don't re-execute the read+sha
+    # pipeline; at very large scale run with a checkpoint_dir instead (stage
+    # parquet replaces object-store pinning).
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -1,0 +1,247 @@
+"""Driver-facing query callables over /root/testdata tables.
+
+Each returns a result whose column names/values match its DuckDB oracle in
+``__ray_entry__.oracle_sql()`` (floats rounded identically on both sides).
+Functions without an oracle (marked rows-only) cover the non-SQL operators:
+MinHash clustering, SimHash candidates, LSH ANN, language id, quality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from spel_ray.config import LinkageConfig
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------- documents
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from spel_ray.functions.dedup import exact_dedup
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id", num_buckets=16)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "text"]]
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    from spel_ray.functions.text import analyze_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = analyze_documents(ds).select_columns(["doc_id", "n_tokens_ws"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_lengths(sf_dir: str) -> pd.DataFrame:
+    """Recomputed length + filter — vectorized Arrow kernels only."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                      "text_len": ln})
+        return t.filter(pc.greater(t["text_len"], 100))
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas() \
+             .sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    """Groupby-count on the stored lang column (SQL-checkable; the heuristic
+    language *detector* is covered rows-only by q_langid)."""
+    ds = _docs(sf_dir, ["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("lang", sort=False).size() \
+                  .rename("n_docs").reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("lang").map_groups(
+                lambda df: pd.DataFrame({"lang": [df["lang"].iloc[0]],
+                                         "n_docs": [int(df["n_docs"].sum())]}),
+                batch_format="pandas")
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    """rows-only: heuristic language id per document."""
+    from spel_ray.functions.text import analyze_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = analyze_documents(ds).select_columns(["doc_id", "pred_lang"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    """rows-only: composite quality score per document."""
+    from spel_ray.functions.text import analyze_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    df = analyze_documents(ds).select_columns(
+        ["doc_id", "n_tokens_bpe", "stop_ratio", "punct_ratio", "quality"]
+    ).to_pandas()
+    for c in ["stop_ratio", "punct_ratio", "quality"]:
+        df[c] = df[c].round(5)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """rows-only: rolling-hash document fingerprints (deterministic)."""
+    from spel_ray.functions.text import fingerprint_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = fingerprint_documents(ds).select_columns(["doc_id", "doc_fingerprint"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """rows-only: near-dup clusters over documents via MinHash-LSH."""
+    from spel_ray.functions.dedup import minhash_dedup
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cfg = LinkageConfig(use_verifier=False)
+    out = minhash_dedup(ds, cfg, text_col="text", id_col="doc_id",
+                        num_buckets=16)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_candidates_docs(sf_dir: str) -> pd.DataFrame:
+    """rows-only: SimHash near-dup candidate pairs (hamming <= 3)."""
+    from spel_ray.functions.dedup import add_simhash, simhash_candidates
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = simhash_candidates(add_simhash(ds), id_col="doc_id",
+                             max_hamming=3, num_buckets=8)
+    return out.to_pandas().sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- embeddings
+def _load_queries(sf_dir: str, n_queries: int = 5):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n_queries].sort_values("vec_id")
+    return (np.vstack(df["embedding"].to_numpy()).astype(np.float64),
+            df["vec_id"].to_numpy())
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-10 for queries vec_id < 5 (oracled)."""
+    from spel_ray.functions.similarity import ann_topk_bruteforce
+    qm, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_topk_bruteforce(ds, qm, qids, k=10)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """rows-only: LSH-bucketed approximate variant of q_ann_topk."""
+    from spel_ray.functions.similarity import ann_topk_lsh
+    qm, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_topk_lsh(ds, qm, qids, k=10, n_planes=6, n_tables=12)
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Cosine >= 0.9 pairs among vec_id < 500 (bounded so the oracle's
+    quadratic join stays cheap)."""
+    from spel_ray.functions.dedup import embedding_neardup_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 500)), batch_format="pyarrow")
+    out = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
+                             "id_hi": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    out["cosine"] = out["cosine"].round(5)
+    return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
+def q_candidate_resolution(sf_dir: str) -> pd.DataFrame:
+    """rows-only: SpEL-style fixed-candidate-set scoring — the first 20
+    documents form the candidate vocabulary; every document resolves to its
+    nearest representative (or NO_MATCH) via the broadcast matrix scorer."""
+    import pyarrow.parquet as pq
+
+    from spel_ray.stages.candidates import (
+        resolve_candidates, score_against_candidates)
+
+    reps = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    reps = reps[reps["doc_id"] < 20]
+    cands = pd.DataFrame({"cand_id": reps["doc_id"] + 1,
+                          "repr_content": reps["text"],
+                          "lang": "txt"})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        return pa.table({"row_id": batch["doc_id"],
+                         "norm_content": batch["text"]})
+
+    records = ds.map_batches(adapt, batch_format="pyarrow")
+    scored = score_against_candidates(records, cands, k=3, dim=512,
+                                      min_score=0.55)
+    out = resolve_candidates(scored).to_pandas()
+    out["confidence"] = out["confidence"].round(5)
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
+# -------------------------------------------------------------------- events
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session count per user (30-min inactivity gap) — ordered per-key
+    window logic in map_groups (§2.9 streaming semantics; ordering comes
+    from an explicit sort inside the group, never block order)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df.sort_values("ts")["ts"]
+        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
+        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
+                             "n_sessions": [int((gaps > 1800).sum())]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 lineitems per returnflag by extendedprice (deterministic
+    tiebreak) — per-group sort inside map_groups."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[True, False, True, True])
+        return pa.Table.from_pandas(df.groupby("l_returnflag").head(3),
+                                    preserve_index=False)
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("l_returnflag").map_groups(
+            lambda df: df.sort_values(
+                ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                ascending=[False, True, True]).head(3),
+            batch_format="pandas")
+    return out.to_pandas().sort_values(
+        ["l_returnflag", "l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def q_union_names(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union coverage: region ∪ nation name lists."""
+    r = ray.data.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
+    n = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"])
+
+    def rn(batch: pa.Table, col: str) -> pa.Table:
+        return pa.table({"name": batch[col]})
+
+    u = r.map_batches(lambda b: rn(b, "r_name"), batch_format="pyarrow").union(
+        n.map_batches(lambda b: rn(b, "n_name"), batch_format="pyarrow"))
+    return u.to_pandas().sort_values("name").reset_index(drop=True)

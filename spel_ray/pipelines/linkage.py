@@ -64,13 +64,18 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
         return ckpt.run_stage(name, fn)
 
     records = stage("fingerprint", lambda: fingerprint(ds, batch_size=cfg.batch_size))
+    if ckpt is None and cfg.use_verifier and cfg.pin_records:
+        # the verifier's content join probes records twice — pin once instead
+        # of re-reading + re-hashing per consumer. Without the verifier the
+        # default path never pins content: blocking consumes records as one
+        # stream and assignment re-derives the (cheap) id pass.
+        records = records.materialize()
     blocks = stage("block_keys", lambda: block_keys(records, cfg))
     pairs = stage("pairs", lambda: scored_candidate_pairs(
         blocks, cfg, num_buckets=num_buckets))
-    # The merged pair set has several consumers (the verifier's two branches,
-    # edges, evaluation) — pin it (it is ~|candidate pairs| slim rows, far
-    # smaller than the input; the object store spills if needed) so
-    # blocking/pair-gen runs exactly once instead of once per consumer.
+    # The merged pair set has several consumers (edges, evaluation, optional
+    # verify) — pin it (slim rows, far smaller than the input) so
+    # blocking/pair-gen runs exactly once.
     if ckpt is None:
         pairs = pairs.materialize()
     if cfg.use_verifier:
@@ -80,7 +85,8 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
             pairs = pairs.materialize()
     edges = stage("edges", lambda: edges_from_pairs(pairs, cfg))
     star = stage("components", lambda: connected_components(
-        edges, num_buckets=num_buckets, max_rounds=cfg.max_cc_rounds))
+        edges, num_buckets=num_buckets, max_rounds=cfg.max_cc_rounds,
+        driver_threshold=cfg.cc_driver_threshold))
     clusters = stage("clusters", lambda: assign_clusters(
         records, star, num_buckets=num_buckets))
     if ckpt is None:

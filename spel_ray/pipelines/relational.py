@@ -184,7 +184,7 @@ def q_top_orders(sf_dir: str) -> pd.DataFrame:
         return batch.take(idx)
 
     out = (ds.map_batches(partial_topk, batch_format="pyarrow")
-             .sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+             .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
              .limit(k).to_pandas())
     return out[["o_orderkey", "o_totalprice"]]
 

@@ -15,14 +15,22 @@ CODE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def read_code_table(path: str, *, with_truth: bool = False,
-                    columns: list[str] | None = None) -> ray.data.Dataset:
+                    columns: list[str] | None = None,
+                    override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Read a Parquet code table (input_hint schema), pruning columns at the
     read. ``with_truth`` additionally loads ``ancestor_id`` when present
-    (evaluator only — the pipeline itself never sees it)."""
+    (evaluator only — the pipeline itself never sees it).
+
+    ``override_num_blocks``: set to ~3× total cores when the input has few
+    files/row-groups, so downstream map_batches stages aren't capped at the
+    file count."""
     cols = list(columns) if columns is not None else list(CODE_COLUMNS)
     if with_truth and "ancestor_id" not in cols:
         cols.append("ancestor_id")
-    return ray.data.read_parquet(path, columns=cols)
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(path, columns=cols, **kwargs)
 
 
 def documents_as_code_table(sf_dir: str) -> ray.data.Dataset:

@@ -181,10 +181,13 @@ def synth_parquet_path(n_rows: int, seed: int = 42,
     concurrent processes (the two `--scaling` runs) can share the cache.
     """
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}.parquet")
+    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_rg2k.parquet")
     if not os.path.exists(out):
         t = generate_code_table(n_rows, seed)
         tmp = out + f".tmp.{os.getpid()}"
-        pq.write_table(t, tmp)
+        # small row groups so the parquet reader can split the file into
+        # enough blocks to keep every core busy (one giant row group would
+        # cap read/sketch parallelism at ~1)
+        pq.write_table(t, tmp, row_group_size=2048)
         os.replace(tmp, out)
     return out

@@ -27,7 +27,7 @@ import ray.data
 from spel_ray.config import LinkageConfig
 from spel_ray.stages.minhash import MinHasher, sigs_to_numpy
 
-BLOCK_SCHEMA_COLS = ["block_key", "row_id", "sig", "n_chars", "lang", "content_sha256"]
+BLOCK_SCHEMA_COLS = ["block_key", "row_id", "sig", "sig_tok", "n_chars", "sha16"]
 
 
 class BlockKeyExploder:
@@ -72,9 +72,20 @@ class BlockKeyExploder:
         keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
         idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
 
-        taken = batch.select(["row_id", "sig", "n_chars", "lang", "content_sha256"]) \
-                     .take(pa.array(idx))
-        return taken.add_column(
+        # slim shuffle payload: 128-bit sha (collision-free in practice)
+        # instead of the 64-char hex string; lang is already inside the
+        # exact-key hash, so it is not shipped at all.
+        sha16 = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(16), n,
+            [None, pa.py_buffer(b"".join(bytes.fromhex(s[:32]) for s in shas))])
+        slim = pa.table({
+            "row_id": batch["row_id"],
+            "sig": batch["sig"],
+            "sig_tok": batch["sig_tok"],
+            "n_chars": batch["n_chars"],
+            "sha16": sha16,
+        }).take(pa.array(idx))
+        return slim.add_column(
             0, "block_key", pa.array(keys.view(np.int64), pa.int64()))
 
 

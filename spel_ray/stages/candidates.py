@@ -1,0 +1,154 @@
+"""Fixed-candidate-set scorer — the engine's direct analog of SpEL's T1.
+
+The reference scores every subword against a FIXED entity vocabulary with
+one matmul (``logits = enc @ out_embᵀ`` then softmax → per-token top-k
+(prob, id) lists; reference ``model.py:161-192``, vocab
+``configuration.py:64-99``). Here the fixed candidate set is a table of
+canonical cluster representatives (FIXTURES.md §4: ``cand_id, repr_content,
+lang``; ``cand_id`` 0 reserved for "no match"), and every record is embedded
+with a hashed character-n-gram bag (feature hashing — public technique,
+Weinberger et al. 2009) and scored against the broadcast representative
+matrix in one numpy matmul per batch.
+
+Actor-pool contract exactly as the reference's scorer: the representative
+matrix is built ONCE in ``__init__`` (from a ``ray.put`` handle — shipped to
+each actor once, never per batch), ``__call__`` is pure batched math.
+
+Head shrinking (reference T2, ``model.py:56-79``) maps to ``restrict_ids`` —
+a row mask over the candidate matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from spel_ray.config import LinkageConfig
+
+NO_MATCH_ID = 0  # reserved, ≙ |||O||| in the reference vocabulary
+
+
+def embed_char_ngrams(texts: list[str], dim: int = 1024, n: int = 4,
+                      seed: int = 42) -> np.ndarray:
+    """(len(texts), dim) float32 L2-normalized hashed char-n-gram bags."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    mask = np.uint64(dim - 1) if dim & (dim - 1) == 0 else None
+    pows = np.power(np.uint64(131), np.arange(n, dtype=np.uint64),
+                    dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8", errors="ignore"),
+                          dtype=np.uint8)
+        if len(b) < n:
+            pad = np.zeros(n, dtype=np.uint8)
+            pad[: len(b)] = b
+            b = pad
+        win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+        h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        idx = (h & mask) if mask is not None else (h % np.uint64(dim))
+        np.add.at(out[i], idx.astype(np.int64), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norms, 1e-12)
+
+
+def build_candidate_matrix(cands: pd.DataFrame, dim: int = 1024,
+                           n: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, matrix) for a candidate table (cand_id, repr_content). Row 0 is
+    the reserved no-match vector (zeros → cosine 0 with everything)."""
+    cands = cands.sort_values("cand_id")
+    assert (cands["cand_id"] > 0).all(), "cand_id 0 is reserved for no-match"
+    m = embed_char_ngrams(cands["repr_content"].tolist(), dim=dim, n=n)
+    ids = np.concatenate([[NO_MATCH_ID], cands["cand_id"].to_numpy()])
+    mat = np.vstack([np.zeros((1, dim), dtype=np.float32), m])
+    return ids.astype(np.int64), mat
+
+
+class CandidateScorer:
+    """Actor-pool stage: per-record top-k candidates over the fixed set.
+
+    Emits per record: ``top_ids`` (list<int64>), ``top_probs`` (list<float>)
+    — softmax over cosine scores, exactly the reference's per-token
+    ``(top_k_p_list, top_k_i_list)`` shape (``span_annotation.py:129-166``).
+    Records whose best candidate scores below ``min_score`` resolve to
+    NO_MATCH first (≙ annotation nulled to O on candidate miss,
+    ``candidate_manager.py:58-74``)."""
+
+    def __init__(self, cand_ref, k: int = 5, dim: int = 1024, n: int = 4,
+                 min_score: float = 0.35, temperature: float = 10.0,
+                 restrict_ids: np.ndarray | None = None):
+        ids, mat = ray.get(cand_ref)            # shipped once per actor
+        if restrict_ids is not None:            # head shrinking (T2)
+            keep = np.isin(ids, np.concatenate([[NO_MATCH_ID], restrict_ids]))
+            ids, mat = ids[keep], mat[keep]
+        self.ids = ids
+        self.mat = mat
+        self.k = k
+        self.dim = dim
+        self.n = n
+        self.min_score = min_score
+        self.temperature = temperature
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["norm_content"].to_pylist()
+        emb = embed_char_ngrams(texts, dim=self.dim, n=self.n)
+        scores = emb @ self.mat.T                       # (b, C)
+        k = min(self.k, scores.shape[1])
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_ids, rows_probs = [], []
+        for r in range(scores.shape[0]):
+            cols = part[r][np.argsort(-scores[r, part[r]], kind="stable")]
+            s = scores[r, cols]
+            p = np.exp(self.temperature * (s - s.max()))
+            p /= p.sum()
+            ids = self.ids[cols]
+            if s[0] < self.min_score:               # no-match resolution
+                ids = np.concatenate([[NO_MATCH_ID], ids[:-1]])
+                p = np.concatenate([[1.0], p[:-1] * 0.0])
+            rows_ids.append(ids.tolist())
+            rows_probs.append(np.round(p, 6).tolist())
+        out = batch.append_column(
+            "top_ids", pa.array(rows_ids, pa.list_(pa.int64())))
+        return out.append_column(
+            "top_probs", pa.array(rows_probs, pa.list_(pa.float64())))
+
+
+def score_against_candidates(records: ray.data.Dataset,
+                             candidates: pd.DataFrame,
+                             cfg: LinkageConfig | None = None, *,
+                             k: int = 5, dim: int = 1024,
+                             min_score: float = 0.35,
+                             concurrency: tuple[int, int] = (1, 8),
+                             batch_size: int = 1024) -> ray.data.Dataset:
+    """records (with norm_content) × fixed candidate table → top-k columns.
+
+    The candidate matrix is built on the driver and broadcast via ``ray.put``
+    — read once per actor, never per batch."""
+    cand_ref = ray.put(build_candidate_matrix(candidates, dim=dim))
+    return records.map_batches(
+        CandidateScorer,
+        fn_constructor_kwargs={"cand_ref": cand_ref, "k": k, "dim": dim,
+                               "min_score": min_score},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def resolve_candidates(scored: ray.data.Dataset,
+                       *, num_buckets: int = 16) -> ray.data.Dataset:
+    """Reduce top-k lists to one resolved candidate per record (argmax prob;
+    ≙ word-level resolution, ``span_annotation.py:90-107``)."""
+    def resolve(batch: pa.Table) -> pa.Table:
+        ids = batch["top_ids"].to_pylist()
+        probs = batch["top_probs"].to_pylist()
+        best = [int(i[0]) if i else NO_MATCH_ID for i in ids]
+        conf = [float(p[0]) if p else 1.0 for p in probs]
+        return pa.table({
+            "row_id": batch["row_id"],
+            "resolved_cand": pa.array(best, pa.int64()),
+            "confidence": pa.array(conf, pa.float64()),
+        })
+
+    return scored.map_batches(resolve, batch_format="pyarrow")

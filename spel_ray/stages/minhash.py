@@ -37,11 +37,16 @@ class MinHasher:
     process), applied per batch. Usable directly as a map_batches callable."""
 
     def __init__(self, cfg: LinkageConfig):
+        import re
+
         self.cfg = cfg
         rng = np.random.default_rng(cfg.seed)
         # odd multipliers for the universal hash family
         self.A = (rng.integers(1, 2**63, size=cfg.num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
         self.B = rng.integers(0, 2**63, size=cfg.num_perm, dtype=np.uint64)
+        # independent family for the word-token signature
+        self.At = (rng.integers(1, 2**63, size=cfg.num_perm_tok, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.Bt = rng.integers(0, 2**63, size=cfg.num_perm_tok, dtype=np.uint64)
         k = cfg.shingle_k
         # polynomial rolling-hash power vector (base 257, uint64 wraparound)
         self.powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
@@ -49,6 +54,7 @@ class MinHasher:
         self.band_pows = np.power(np.uint64(1099511628211),
                                   np.arange(cfg.rows_per_band, dtype=np.uint64),
                                   dtype=np.uint64)
+        self.token_re = re.compile(rb"[A-Za-z_][A-Za-z_0-9]*|\d+")
 
     def shingle_hashes(self, text: str) -> np.ndarray:
         """Unique uint64 hashes of the char-k shingles of ``text``."""
@@ -75,32 +81,65 @@ class MinHasher:
         m = self.A[:, None] * h[None, :] + self.B[:, None]
         return m.min(axis=1)
 
+    def token_hashes(self, text: str) -> np.ndarray:
+        """Unique uint64 hashes of identifier/number tokens — the engine's
+        word-level view (≙ the reference's word granularity above subwords,
+        ``span_annotation.py:66-121``)."""
+        from zlib import crc32
+
+        toks = set(self.token_re.findall(text.encode("utf-8", errors="ignore")))
+        if not toks:
+            return np.array([_EMPTY_SENTINEL], dtype=np.uint64)
+        # crc32 (C speed) spread to 64 bits; 32-bit collisions are harmless
+        # at per-document token-set sizes
+        out = np.fromiter((crc32(t) for t in toks), dtype=np.uint64,
+                          count=len(toks))
+        out = out * np.uint64(0x9E3779B97F4A7C15)
+        out ^= out >> np.uint64(31)
+        return out
+
+    def token_signature(self, text: str) -> np.ndarray:
+        """(num_perm_tok,) uint64 MinHash over the token set — a colocated
+        stand-in for exact token Jaccard at pair-scoring time."""
+        h = self.token_hashes(text)
+        m = self.At[:, None] * h[None, :] + self.Bt[:, None]
+        return m.min(axis=1)
+
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
         """(bands,) uint64 — one hash per LSH band of the signature."""
         cfg = self.cfg
         bands = sig.reshape(cfg.bands, cfg.rows_per_band)
         return (bands * self.band_pows[None, :]).sum(axis=1, dtype=np.uint64)
 
-    # --- map_batches entry: adds 'sig' (fixed-size binary) per row ---
+    # --- map_batches entry: adds 'sig' + 'sig_tok' (fixed-size binary) ---
+    # Signatures are stored as uint32 (low half of the uint64 minima): the
+    # Jaccard estimator only tests per-permutation EQUALITY, and a false
+    # 32-bit collision has probability 2^-32 per slot — negligible — while
+    # the shuffle payload halves.
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["norm_content"].to_pylist()
-        width = self.cfg.num_perm * 8
-        sigs = np.empty((len(texts), self.cfg.num_perm), dtype=np.uint64)
+        n = len(texts)
+        sigs = np.empty((n, self.cfg.num_perm), dtype=np.uint32)
+        sigs_t = np.empty((n, self.cfg.num_perm_tok), dtype=np.uint32)
         for i, t in enumerate(texts):
-            sigs[i] = self.signature(t or "")
-        sig_col = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(width), len(texts), [None, pa.py_buffer(sigs.tobytes())]
-        )
-        return batch.append_column("sig", sig_col)
+            t = t or ""
+            sigs[i] = self.signature(t).astype(np.uint32)
+            sigs_t[i] = self.token_signature(t).astype(np.uint32)
+        out = batch.append_column("sig", pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.cfg.num_perm * 4), n,
+            [None, pa.py_buffer(sigs.tobytes())]))
+        return out.append_column("sig_tok", pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.cfg.num_perm_tok * 4), n,
+            [None, pa.py_buffer(sigs_t.tobytes())]))
 
 
 def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
     """Zero-copy-ish view of a fixed_size_binary signature column as
-    (n, num_perm) uint64."""
+    (n, num_perm) uint32."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     buf = col.buffers()[1]
-    arr = np.frombuffer(buf, dtype=np.uint64)
+    arr = np.frombuffer(buf, dtype=np.uint32)
     # account for array offset into the buffer
     off = col.offset * num_perm
     n = len(col)

@@ -41,6 +41,7 @@ def _gen_and_score_bucket(df: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
         return _empty_pairs()
     df = df.sort_values(["block_key", "row_id"], kind="mergesort")
     df = df.drop_duplicates(["block_key", "row_id"])
+    sha_col = "sha16" if "sha16" in df.columns else "content_sha256"
     keys = df["block_key"].to_numpy()
     # run-length group boundaries over the sorted keys
     change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
@@ -71,14 +72,16 @@ def _gen_and_score_bucket(df: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
     cap_flag = np.concatenate(capped)
 
     ids = df["row_id"].to_numpy()
-    sig_bytes = df["sig"].to_numpy()
-    sigs = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(
-        len(df), cfg.num_perm)
+    sigs = np.frombuffer(b"".join(df["sig"].to_numpy()),
+                         dtype=np.uint32).reshape(len(df), cfg.num_perm)
+    sigs_t = np.frombuffer(b"".join(df["sig_tok"].to_numpy()),
+                           dtype=np.uint32).reshape(len(df), cfg.num_perm_tok)
     n_chars = df["n_chars"].to_numpy()
-    shas = df["content_sha256"].to_numpy()
+    shas = df[sha_col].to_numpy()
 
     jac, exact, score = score_pair_arrays(
-        sigs[lo], sigs[hi], n_chars[lo], n_chars[hi], shas[lo] == shas[hi])
+        cfg, sigs[lo], sigs[hi], sigs_t[lo], sigs_t[hi],
+        n_chars[lo], n_chars[hi], shas[lo] == shas[hi])
 
     return pd.DataFrame({
         "id_lo": ids[lo], "id_hi": ids[hi],

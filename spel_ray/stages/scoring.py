@@ -28,20 +28,28 @@ from spel_ray.config import LinkageConfig
 from spel_ray.functions.strings import jaro_winkler_pairs, token_jaccard_pairs
 
 
-def score_pair_arrays(sig_lo: np.ndarray, sig_hi: np.ndarray,
+def score_pair_arrays(cfg: LinkageConfig,
+                      sig_lo: np.ndarray, sig_hi: np.ndarray,
+                      tok_lo: np.ndarray, tok_hi: np.ndarray,
                       n_lo: np.ndarray, n_hi: np.ndarray,
                       sha_eq: np.ndarray
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized sketch score. Returns (jac_est, exact, score)."""
+    """Vectorized sketch score. Returns (char_jac_est, exact, score).
+
+    Two independent sketch views (≙ the reference's subword AND word
+    granularities, ``span_annotation.py:66-121``): char-shingle MinHash
+    agreement + token-set MinHash agreement, blended and softly gated by the
+    length ratio so wildly different sizes can't cluster on a lucky band
+    collision."""
     jac = (sig_lo == sig_hi).mean(axis=1)
+    tok_jac = (tok_lo == tok_hi).mean(axis=1)
     n_lo = n_lo.astype(np.float64)
     n_hi = n_hi.astype(np.float64)
     denom = np.maximum(np.maximum(n_lo, n_hi), 1.0)
     len_ratio = np.minimum(n_lo, n_hi) / denom
     exact = np.asarray(sha_eq, dtype=bool)
-    # length ratio softly gates the jaccard estimate: two files whose sizes
-    # differ wildly should not cluster on a lucky band collision.
-    score = np.where(exact, 1.0, jac * (0.8 + 0.2 * len_ratio))
+    blend = cfg.char_weight * jac + cfg.tok_weight * tok_jac
+    score = np.where(exact, 1.0, blend * (0.8 + 0.2 * len_ratio))
     return jac, exact, score
 
 
@@ -52,7 +60,8 @@ class BorderlineVerifier:
         import re
         self.cfg = cfg
         self.token_re = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+")
-        self.prefix = 256
+        self.prefix = 128  # JW is O(prefix·window) per pair; token-Jaccard
+        # carries most of the weight, the prefix only breaks near-ties
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["content_lo"].fillna("").tolist()

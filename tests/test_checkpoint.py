@@ -31,6 +31,33 @@ def test_stage_checkpoint_and_resume(tmp_path):
     assert sorted(out2["a"]) == sorted(out1["a"]) == [1, 2, 3]
 
 
+def test_pipeline_checkpoint_resume(tmp_path):
+    """Full pipeline with checkpoint_dir: resume is instant and identical;
+    deleting one stage's manifest recomputes only from that stage."""
+    import ray.data as rdata
+
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.synth import generate_code_table
+
+    t = generate_code_table(150, seed=3)
+    ds = rdata.from_arrow(t.drop_columns(["ancestor_id"]))
+    cfg = LinkageConfig()
+    d = str(tmp_path / "ckpt")
+
+    r1 = run_linkage(ds, cfg, num_buckets=4, checkpoint_dir=d)
+    c1 = r1.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    r2 = run_linkage(ds, cfg, num_buckets=4, checkpoint_dir=d)
+    c2 = r2.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert c1.equals(c2)
+
+    # invalidate the final stage only → recomputed from prior checkpoints
+    (tmp_path / "ckpt" / "clusters" / "manifest.json").unlink()
+    r3 = run_linkage(ds, cfg, num_buckets=4, checkpoint_dir=d)
+    c3 = r3.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert c1.equals(c3)
+
+
 def test_config_change_invalidates(tmp_path):
     calls = {"n": 0}
 

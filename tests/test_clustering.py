@@ -7,44 +7,54 @@ import ray.data as rd
 
 from spel_ray.stages.clustering import assign_clusters, connected_components
 
+# driver_threshold=0 forces the distributed hash-to-min rounds; the default
+# exercises the driver union-find fast path
+DIST = {"driver_threshold": 0}
+DRIVER = {}
 
-def _components(edge_list, nodes=None):
+
+def _components(edge_list, nodes=None, **cc_kwargs):
     edges = rd.from_pandas(pd.DataFrame(edge_list, columns=["lo", "hi"]))
-    star = connected_components(edges, num_buckets=4)
+    star = connected_components(edges, num_buckets=4, **cc_kwargs)
     all_nodes = sorted({n for e in edge_list for n in e} | set(nodes or []))
     recs = rd.from_pandas(pd.DataFrame({"row_id": all_nodes}))
     out = assign_clusters(recs, star, num_buckets=4).to_pandas()
     return dict(zip(out["row_id"], out["cluster_id"]))
 
 
-def test_path():
-    lab = _components([(1, 2), (2, 3), (3, 4), (4, 5)])
+@pytest.mark.parametrize("kw", [DIST, DRIVER])
+def test_path(kw):
+    lab = _components([(1, 2), (2, 3), (3, 4), (4, 5)], **kw)
     assert all(v == 1 for v in lab.values())
 
 
-def test_star():
-    lab = _components([(10, 50), (10, 60), (10, 70)])
+@pytest.mark.parametrize("kw", [DIST, DRIVER])
+def test_star(kw):
+    lab = _components([(10, 50), (10, 60), (10, 70)], **kw)
     assert set(lab.values()) == {10}
 
 
-def test_two_cliques_and_singleton():
+@pytest.mark.parametrize("kw", [DIST, DRIVER])
+def test_two_cliques_and_singleton(kw):
     cl1 = [(1, 2), (1, 3), (2, 3)]
     cl2 = [(7, 8), (7, 9), (8, 9)]
-    lab = _components(cl1 + cl2, nodes=[42])
+    lab = _components(cl1 + cl2, nodes=[42], **kw)
     assert lab[1] == lab[2] == lab[3] == 1
     assert lab[7] == lab[8] == lab[9] == 7
     assert lab[42] == 42
 
 
-def test_cycle():
-    lab = _components([(1, 2), (2, 3), (3, 4), (4, 1)])
+@pytest.mark.parametrize("kw", [DIST, DRIVER])
+def test_cycle(kw):
+    lab = _components([(1, 2), (2, 3), (3, 4), (4, 1)], **kw)
     assert set(lab.values()) == {1}
 
 
 def test_long_path_converges_fast():
     n = 64
-    lab = _components([(i, i + 1) for i in range(1, n)])
+    lab = _components([(i, i + 1) for i in range(1, n)], **DIST)
     assert set(lab.values()) == {1}
+    assert _components([(i, i + 1) for i in range(1, n)]) == lab
 
 
 def test_empty_edges():

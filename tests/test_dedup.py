@@ -1,0 +1,75 @@
+"""Dedup family: exact, MinHash clusters, SimHash candidates, n-gram Jaccard,
+embedding near-dup."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.functions.dedup import (
+    add_simhash, embedding_neardup_pairs, exact_dedup, minhash_dedup,
+    ngram_jaccard, simhash64, simhash_candidates)
+
+
+def _docs():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before nightfall comes")
+    return rd.from_arrow(pa.table({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": [base,
+                 base,                                  # exact dup of 10
+                 base.replace("lazy", "sleepy"),        # near dup of 10
+                 "completely different text about databases and queries etc",
+                 ""],
+    }))
+
+
+def test_exact_dedup_keeps_min_id():
+    out = exact_dedup(_docs(), num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 12, 13, 14]  # 11 removed
+
+
+def test_minhash_dedup_clusters_near_dups():
+    out = minhash_dedup(_docs(), num_buckets=4).to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[10] == lab[11] == lab[12] == 10
+    assert lab[13] == 13
+    assert lab[14] == 14
+
+
+def test_simhash_hamming_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog again today")
+    b = simhash64("the quick brown fox jumps over the sleepy dog again today")
+    c = simhash64("databases love vectorized execution and columnar storage")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64("x") == simhash64("x")
+
+
+def test_simhash_candidates():
+    out = simhash_candidates(add_simhash(_docs()), num_buckets=4,
+                             max_hamming=3).to_pandas()
+    got = set(zip(out["id_lo"], out["id_hi"]))
+    assert (10, 11) in got  # identical
+    assert all(lo < hi for lo, hi in got)
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("", "") == 1.0
+    assert 0 < ngram_jaccard("a b c d e f", "a b c d x f") < 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+
+
+def test_embedding_neardup():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = {
+        "vec_id": [1, 2, 3],
+        "embedding": [base.tolist(),
+                      (base + 0.01 * rng.standard_normal(16)).tolist(),
+                      rng.standard_normal(16).tolist()],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    assert set(zip(out["id_lo"], out["id_hi"])) == {(1, 2)}

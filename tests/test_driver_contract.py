@@ -1,0 +1,71 @@
+"""Driver-contract conformance: queries() vs oracle_sql() on sf0.001 —
+a fast local mirror of the driver's CORRECTNESS harness."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * "
+                  f"FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df
+
+
+def test_every_oracle_has_a_query():
+    qs = entrymod.queries()
+    assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+# fast, representative subset (the full matrix runs in the driver)
+ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
+           "union_names", "sessionize", "token_counts", "doc_lengths",
+           "ann_topk", "events_window"]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(con, name):
+    mine = _canon(entrymod.queries()[name](SF))
+    oracle = _canon(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(mine.columns) == list(oracle.columns)
+    assert mine.shape == oracle.shape
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False,
+                                  atol=1e-6, rtol=1e-9)
+
+
+def test_rows_only_queries_run():
+    qs = entrymod.queries()
+    for name in ["langid", "minhash_dedup_docs", "ann_topk_lsh",
+                 "candidate_resolution"]:
+        out = qs[name](SF)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(df) > 0
+
+
+def test_entry_smoke():
+    r = entrymod.entry()
+    df = r.to_pandas()
+    assert len(df) >= 1
+    assert set(df.columns) == {"row_id", "cluster_id"}

@@ -1,0 +1,65 @@
+"""Metric fixtures (FIXTURES.md §5): tiny p/g sets with known micro/macro
+P/R/F1, including empty-gold and empty-pred edge cases — ≙ reference
+``decao_eval.py:1185-1281``."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from spel_ray.stages.evaluate import (
+    macro_pairwise_f1, micro_f1_aggregate, micro_pairwise_f1, prf)
+
+
+def _df(rows):
+    return pd.DataFrame(rows, columns=["block_key", "is_match", "pred_match"])
+
+
+def test_micro_known_values():
+    df = _df([(1, True, True), (1, True, False), (1, False, True),
+              (1, False, False)])
+    m = micro_pairwise_f1(df)
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_micro_empty_edge_cases():
+    # no gold positives, no predictions → vacuous perfection
+    m = micro_pairwise_f1(_df([(1, False, False)]))
+    assert m["precision"] == 1.0 and m["recall"] == 1.0
+    # empty pred, nonempty gold → recall 0
+    m = micro_pairwise_f1(_df([(1, True, False)]))
+    assert m["recall"] == 0.0
+    # empty gold, nonempty pred → precision 0
+    m = micro_pairwise_f1(_df([(1, False, True)]))
+    assert m["precision"] == 0.0
+
+
+def test_macro_over_blocks():
+    df = _df([
+        (1, True, True),        # block 1: perfect → F1 1
+        (2, True, False),       # block 2: recall 0 → F1 0
+    ])
+    m = macro_pairwise_f1(df)
+    assert m["n_blocks"] == 2
+    assert m["macro_f1"] == pytest.approx(0.5)
+
+
+def test_prf_zero_division():
+    assert prf(0, 0, 0) == (1.0, 1.0, 1.0)
+    assert prf(0, 5, 0)[0] == 0.0
+    assert prf(0, 0, 5)[1] == 0.0
+
+
+def test_distributed_micro_aggregate_matches_driver():
+    rows = [(b, g, p)
+            for b in range(4)
+            for g, p in [(True, True), (True, False), (False, True),
+                         (False, False), (True, True)]]
+    df = _df(rows)
+    expected = micro_pairwise_f1(df)
+
+    ds = rd.from_pandas(df).repartition(3)
+    out = ds.aggregate(micro_f1_aggregate())
+    p, r, f, tp, fp, fn = out["micro_prf"]
+    assert (tp, fp, fn) == (expected["tp"], expected["fp"], expected["fn"])
+    assert f == pytest.approx(expected["f1"])

@@ -1,0 +1,50 @@
+"""Multimodal plumbing: schema, actor-pool stage shape, stubbed decode."""
+
+import pytest
+import ray.data as rd
+
+from spel_ray.functions.multimodal import (
+    MediaFeatureExtractor, extract_media_features, make_fake_media_table,
+    sample_video_frames)
+
+
+def test_fake_media_table_schema():
+    t = make_fake_media_table(20)
+    assert t.column_names == ["media_id", "media_type", "payload",
+                              "meta_width", "meta_height",
+                              "meta_sample_rate", "meta_duration_ms"]
+    assert t.equals(make_fake_media_table(20))  # deterministic
+
+
+def test_feature_extraction_drops_payload():
+    ds = rd.from_arrow(make_fake_media_table(30))
+    out = extract_media_features(ds, dim=8, concurrency=2, batch_size=8)
+    df = out.to_pandas()
+    assert "payload" not in df.columns
+    assert len(df) == 30
+    assert all(len(f) == 8 for f in df["features"])
+
+
+def test_features_deterministic_per_payload():
+    t = make_fake_media_table(5)
+    ex = MediaFeatureExtractor(dim=4)
+    a = ex(t)
+    b = ex(make_fake_media_table(5))
+    assert a["features"].to_pylist() == b["features"].to_pylist()
+
+
+def test_strict_mode_raises():
+    ex = MediaFeatureExtractor(dim=4, strict=True)
+    with pytest.raises(NotImplementedError):
+        ex(make_fake_media_table(2))
+
+
+def test_frame_sampling():
+    ds = rd.from_arrow(make_fake_media_table(40))
+    frames = sample_video_frames(ds, every_ms=5000).to_pandas()
+    src = make_fake_media_table(40).to_pandas()
+    vids = src[src["media_type"] == "video"]
+    expect = int(sum(-(-int(d) // 5000) for d in vids["meta_duration_ms"]))
+    assert len(frames) == expect
+    assert set(frames["media_id"]) == set(vids["media_id"])
+    assert (frames["frame_ts_ms"] % 5000 == 0).all()

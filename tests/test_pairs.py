@@ -11,13 +11,14 @@ CFG = LinkageConfig(max_block_pairs_n=4)
 
 
 def _block_rows(block_key, ids, sig_fill):
-    sig = np.full(CFG.num_perm, sig_fill, dtype=np.uint64).tobytes()
+    sig = np.full(CFG.num_perm, sig_fill, dtype=np.uint32).tobytes()
+    sig_t = np.full(CFG.num_perm_tok, sig_fill, dtype=np.uint32).tobytes()
     return pd.DataFrame({
         "block_key": np.full(len(ids), block_key, dtype=np.int64),
         "row_id": np.array(ids, dtype=np.int64),
         "sig": [sig] * len(ids),
+        "sig_tok": [sig_t] * len(ids),
         "n_chars": np.full(len(ids), 100, dtype=np.int64),
-        "lang": ["python"] * len(ids),
         "content_sha256": ["x" * 64] * len(ids),
     })
 

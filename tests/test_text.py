@@ -1,0 +1,56 @@
+"""Text-analysis operators over a documents-like table."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.functions.text import (
+    TextAnalyzer, analyze_documents, detect_lang, fingerprint_documents,
+    rolling_fingerprint)
+
+
+def _docs():
+    return rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the quick brown fox and the lazy dog for a walk in the park",
+                 "el perro y el gato en la casa de los abuelos por la tarde",
+                 "",
+                 "!!! ??? ###"],
+    }))
+
+
+def test_detect_lang():
+    assert detect_lang("the cat and the dog is in a house") == "en"
+    assert detect_lang("el gato y la casa de los perros") == "es"
+    assert detect_lang("der Hund und die Katze ist von den") == "de"
+    assert detect_lang("这是一个中文句子，用来测试语言识别功能。") == "zh"
+    assert detect_lang("") == "und"
+
+
+def test_analyze_documents_columns_and_values():
+    out = analyze_documents(_docs()).to_pandas().set_index("doc_id")
+    assert {"pred_lang", "n_tokens_ws", "n_tokens_bpe", "stop_ratio",
+            "punct_ratio", "quality"} <= set(out.columns)
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[0, "n_tokens_ws"] == 14
+    assert out.loc[2, "n_tokens_ws"] == 0
+    assert out.loc[3, "punct_ratio"] > 0.5
+    assert out.loc[0, "quality"] > out.loc[3, "quality"]
+
+
+def test_token_counts_match_python_split():
+    out = analyze_documents(_docs()).to_pandas().set_index("doc_id")
+    t = _docs().to_pandas().set_index("doc_id")
+    for i in t.index:
+        assert out.loc[i, "n_tokens_ws"] == len(t.loc[i, "text"].split())
+
+
+def test_fingerprint_deterministic():
+    a = rolling_fingerprint("some document body with enough length to window")
+    b = rolling_fingerprint("some document body with enough length to window")
+    c = rolling_fingerprint("a totally different body of text for the sketch")
+    assert a == b
+    assert a != c  # min-sketch: only guaranteed for substantially different text
+    assert rolling_fingerprint("") == 0
+
+    out = fingerprint_documents(_docs()).to_pandas()
+    assert out["doc_fingerprint"].notna().all()
