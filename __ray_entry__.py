@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": dq.q_topk_per_group,
         "union_names": dq.q_union_names,
         "sessionize": dq.q_sessionize,
+        "sliding_window": dq.q_sliding_window,
+        "embedding_stats": dq.q_embedding_stats,
+        "simhash_clusters": dq.q_simhash_clusters_docs,  # rows-only
         # documents / training-data operators
         "exact_dedup_docs": dq.q_exact_dedup_docs,
         "token_counts": dq.q_token_counts,
@@ -172,6 +175,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE new_session = 1
             GROUP BY user_id
             ORDER BY user_id
+        """,
+        "sliding_window": """
+            SELECT event_type, window_start_step,
+                   ROUND(SUM(value), 2) AS total_value,
+                   COUNT(*) AS n_events
+            FROM (
+                SELECT event_type, value,
+                       epoch_us(ts) // 1800000000 - k AS window_start_step
+                FROM events
+                CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            )
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "embedding_stats": """
+            SELECT label,
+                   ROUND(AVG(sqrt(list_sum(
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x)))), 5) AS mean_norm,
+                   COUNT(*) AS n_vecs
+            FROM embeddings
+            GROUP BY label
+            ORDER BY label
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text

@@ -210,6 +210,88 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1-hour windows advancing every 30 min (each event lands in
+    exactly 2 windows) — the §2.9 overlapping-window analog, expressed as a
+    vectorized 2-way window-id explode + partial/final aggregate."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    STEP = 1_800_000_000  # 30 min in µs
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = batch["ts"].cast(pa.int64()).to_numpy()
+        w = epoch // STEP
+        et = batch["event_type"].to_pylist()
+        val = batch["value"].to_numpy()
+        # window id = start step index; event in windows (w-1, w)
+        df = pd.DataFrame({
+            "event_type": et * 2,
+            "window_start_step": np.concatenate([w - 1, w]),
+            "value": np.concatenate([val, val]),
+        })
+        g = df.groupby(["event_type", "window_start_step"], sort=False).agg(
+            total_value=("value", "sum"), n_events=("value", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start_step"]).map_groups(
+            lambda df: pd.DataFrame({
+                "event_type": [df["event_type"].iloc[0]],
+                "window_start_step": [int(df["window_start_step"].iloc[0])],
+                "total_value": [round(df["total_value"].sum(), 2)],
+                "n_events": [int(df["n_events"].sum())],
+            }), batch_format="pandas")
+    return out.to_pandas().sort_values(
+        ["event_type", "window_start_step"]).reset_index(drop=True)
+
+
+def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding count + mean L2 norm (vectorized numpy per
+    batch, partial/final aggregate)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        df = pd.DataFrame({"label": batch["label"].to_numpy(),
+                           "s": norms, "n": 1})
+        g = df.groupby("label", sort=False).agg(
+            sum_norm=("s", "sum"), n_vecs=("n", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").map_groups(
+            lambda df: pd.DataFrame({
+                "label": [int(df["label"].iloc[0])],
+                "mean_norm": [round(df["sum_norm"].sum() / df["n_vecs"].sum(), 5)],
+                "n_vecs": [int(df["n_vecs"].sum())],
+            }), batch_format="pandas")
+    return out.to_pandas().sort_values("label").reset_index(drop=True)
+
+
+def q_simhash_clusters_docs(sf_dir: str) -> pd.DataFrame:
+    """rows-only: SimHash candidates → connected components → clusters
+    (the second near-dup family end-to-end)."""
+    from spel_ray.functions.dedup import add_simhash, simhash_candidates
+    from spel_ray.stages.clustering import assign_clusters, connected_components
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cand = simhash_candidates(add_simhash(ds), id_col="doc_id",
+                              max_hamming=3, num_buckets=8)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"lo": batch["id_lo"], "hi": batch["id_hi"]})
+
+    star = connected_components(cand.map_batches(to_edges, batch_format="pyarrow"),
+                                num_buckets=8)
+    recs = ds.map_batches(lambda b: pa.table({"row_id": b["doc_id"]}),
+                          batch_format="pyarrow")
+    out = assign_clusters(recs, star, num_buckets=8).to_pandas()
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
 def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
     """Top-3 lineitems per returnflag by extendedprice (deterministic
     tiebreak) — per-group sort inside map_groups."""

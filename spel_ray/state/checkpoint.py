@@ -60,12 +60,28 @@ class CheckpointedRun:
         tmp.mkdir(parents=True)
         ds.write_parquet(str(tmp))
         files = sorted(os.listdir(tmp))
+        # per-partition lineage + metrics: one entry per written part file
+        # (north_rule: "per-partition lineage + metrics")
+        partitions = []
+        rows = 0
+        for f in files:
+            try:
+                import pyarrow.parquet as pq
+                md = pq.ParquetFile(tmp / f).metadata
+                partitions.append({
+                    "file": f,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(tmp / f),
+                    "row_groups": md.num_row_groups,
+                })
+                rows += md.num_rows
+            except Exception:
+                partitions.append({"file": f, "rows": None})
         if data_dir.exists():
             shutil.rmtree(data_dir)
         os.replace(tmp, data_dir)
 
         out = ray.data.read_parquet(str(data_dir)) if files else ds
-        rows = out.count() if files else 0
         man = {
             "stage": name,
             "config": self.cfg_fp,
@@ -73,6 +89,7 @@ class CheckpointedRun:
             "rows": rows,
             "seconds": round(time.time() - t0, 3),
             "files": files,
+            "partitions": partitions,
             "written_at": time.time(),
         }
         (sdir / MANIFEST).write_text(json.dumps(man, indent=1))

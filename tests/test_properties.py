@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the core kernels.
+
+These mirror the reference's inline invariant asserts (SURVEY.md §5.3) as
+generative checks: estimator accuracy, clustering equivalence against a
+trivial reference implementation, and id stability.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spel_ray.config import LinkageConfig
+from spel_ray.functions.strings import levenshtein
+from spel_ray.stages.clustering import _local_union_find
+from spel_ray.stages.minhash import MinHasher
+
+CFG = LinkageConfig()
+MH = MinHasher(CFG)
+
+
+@st.composite
+def text_pair(draw):
+    base = draw(st.text(alphabet=st.characters(codec="ascii",
+                                               categories=["L", "N", "P", "Zs"]),
+                        min_size=30, max_size=300))
+    # mutate a copy with a few edits
+    edits = draw(st.integers(0, 6))
+    other = base
+    for _ in range(edits):
+        if len(other) < 5:
+            break
+        i = draw(st.integers(0, len(other) - 1))
+        other = other[:i] + draw(st.text(min_size=0, max_size=3)) + other[i + 1:]
+    return base, other
+
+
+@settings(max_examples=30, deadline=None)
+@given(text_pair())
+def test_minhash_estimates_true_jaccard(pair):
+    a, b = pair
+    ha = set(MH.shingle_hashes(a).tolist())
+    hb = set(MH.shingle_hashes(b).tolist())
+    true_j = len(ha & hb) / max(len(ha | hb), 1)
+    est = float((MH.signature(a) == MH.signature(b)).mean())
+    # 64 perms → std ≈ sqrt(j(1-j)/64) ≤ 0.0625; allow 4 sigma
+    assert abs(est - true_j) <= 0.27
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=120))
+def test_union_find_matches_naive_reference(edge_list):
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        return
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, root = _local_union_find(a, b)
+
+    # naive reference: repeated relabeling to fixpoint
+    lab = {n: n for n in set(a.tolist()) | set(b.tolist())}
+    changed = True
+    while changed:
+        changed = False
+        for x, y in edges:
+            m = min(lab[x], lab[y])
+            if lab[x] != m or lab[y] != m:
+                lab[x] = lab[y] = m
+                changed = True
+        # propagate through labels
+        for n in lab:
+            while lab[n] != lab[lab[n]]:
+                lab[n] = lab[lab[n]]
+                changed = True
+
+    got = dict(zip(nodes.tolist(), root.tolist()))
+    assert got == lab
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=60), st.text(max_size=60))
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert d <= max(len(a), len(b))
+    assert d >= abs(len(a) - len(b))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(max_size=200))
+def test_signatures_deterministic_and_shape(t):
+    s1 = MH.signature(t)
+    s2 = MinHasher(CFG).signature(t)
+    assert (s1 == s2).all()
+    ts = MH.token_signature(t)
+    assert ts.shape == (CFG.num_perm_tok,)
