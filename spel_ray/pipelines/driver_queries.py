@@ -59,7 +59,7 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("lang", sort=False).size() \
                   .rename("n_docs").reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby("lang").map_groups(
@@ -232,7 +232,7 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "window_start_step"], sort=False).agg(
             total_value=("value", "sum"), n_events=("value", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["event_type", "window_start_step"]).map_groups(
@@ -259,7 +259,7 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
                            "s": norms, "n": 1})
         g = df.groupby("label", sort=False).agg(
             sum_norm=("s", "sum"), n_vecs=("n", "size")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("label").map_groups(
@@ -304,7 +304,7 @@ def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
             ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
             ascending=[True, False, True, True])
         return pa.Table.from_pandas(df.groupby("l_returnflag").head(3),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(local_topk, batch_format="pyarrow") \
         .groupby("l_returnflag").map_groups(

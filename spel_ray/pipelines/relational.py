@@ -45,7 +45,7 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
             sum_revenue=("revenue", "sum"),
             n_rows=("l_quantity", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
@@ -74,7 +74,7 @@ def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["o_year", "o_month"], sort=False).agg(
             total_price=("price", "sum"), n_orders=("price", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = parts.groupby(["o_year", "o_month"]).map_groups(
@@ -133,7 +133,7 @@ def q_customer_nation(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["n_name", "r_name"], sort=False).agg(
             total_acctbal=("c_acctbal", "sum"), n_customers=("c_custkey", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = joined.map_batches(partial, batch_format="pyarrow") \
         .groupby(["n_name", "r_name"]).map_groups(
@@ -158,7 +158,7 @@ def q_orders_customer_join(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("c_mktsegment", sort=False).agg(
             total_price=("o_totalprice", "sum"), n_orders=("o_orderkey", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = j.map_batches(partial, batch_format="pyarrow") \
         .groupby("c_mktsegment").map_groups(
@@ -203,7 +203,7 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "window_hour"], sort=False).agg(
             total_value=("value", "sum"), n_events=("value", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_hour"]).map_groups(
@@ -225,7 +225,7 @@ def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
 
     def local_unique(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(local_unique, batch_format="pyarrow") \
             .groupby(["l_returnflag", "l_linestatus"]).map_groups(
@@ -247,7 +247,7 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
             max_size=("p_size", "max"),
             n_parts=("p_retailprice", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("p_type").map_groups(

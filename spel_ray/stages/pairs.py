@@ -35,15 +35,57 @@ from spel_ray.state.shuffle import bucketed_groupby, pair_key
 PAIR_COLS = ["id_lo", "id_hi", "block_key", "jac", "exact", "score", "capped"]
 
 
-def _gen_and_score_bucket(df: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
-    """One bucket of block rows → scored candidate pairs (vectorized)."""
-    if len(df) == 0:
+def _fixed_binary_view(col, width_units: int, dtype) -> np.ndarray:
+    """(n, width_units) view of a fixed_size_binary column — pure buffer
+    arithmetic, no per-row Python objects."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = np.frombuffer(col.buffers()[1], dtype=dtype)
+    off = col.offset * width_units
+    n = len(col)
+    return arr[off: off + n * width_units].reshape(n, width_units)
+
+
+def _gen_and_score_bucket(t, cfg: LinkageConfig):
+    """One bucket of block rows (Arrow table) → scored candidate pairs.
+
+    Arrow-native on purpose: signature columns are read as numpy buffer
+    views; a pandas conversion would materialize one Python bytes object per
+    row and dominate the task (measured ~6× the useful compute)."""
+    import pyarrow as pa
+
+    if isinstance(t, pd.DataFrame):      # unit-test convenience path
+        t = pa.table({
+            "block_key": pa.array(t["block_key"], pa.int64()),
+            "row_id": pa.array(t["row_id"], pa.int64()),
+            "sig": pa.array(t["sig"], pa.binary(cfg.num_perm * 4)),
+            "sig_tok": pa.array(t["sig_tok"], pa.binary(cfg.num_perm_tok * 4)),
+            "n_chars": pa.array(t["n_chars"], pa.int64()),
+            "sha16": pa.array(t["sha16"], pa.binary(16)),
+        })
+    if t.num_rows == 0:
         return _empty_pairs()
-    df = df.sort_values(["block_key", "row_id"], kind="mergesort")
-    df = df.drop_duplicates(["block_key", "row_id"])
-    sha_col = "sha16" if "sha16" in df.columns else "content_sha256"
-    keys = df["block_key"].to_numpy()
-    # run-length group boundaries over the sorted keys
+
+    keys_all = np.asarray(t["block_key"], dtype=np.int64)
+    ids_all = np.asarray(t["row_id"], dtype=np.int64)
+    order = np.lexsort((ids_all, keys_all))
+    keys = keys_all[order]
+    ids = ids_all[order]
+    # consecutive-duplicate removal over sorted (block_key, row_id)
+    keep = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+    sel = order[keep]
+    keys = keys_all[sel]
+    ids = ids_all[sel]
+
+    sig_col = t["sig"] if "sig" in t.column_names else None
+    sigs = _fixed_binary_view(t["sig"], cfg.num_perm, np.uint32)[sel]
+    sigs_t = _fixed_binary_view(t["sig_tok"], cfg.num_perm_tok, np.uint32)[sel]
+    # sha16 as two uint64 words for vectorized equality
+    sha2 = _fixed_binary_view(t["sha16"], 2, np.uint64)[sel]
+    n_chars = np.asarray(t["n_chars"], dtype=np.int64)[sel]
+
     change = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     sizes = np.diff(np.r_[change, len(keys)])
 
@@ -71,40 +113,48 @@ def _gen_and_score_bucket(df: pd.DataFrame, cfg: LinkageConfig) -> pd.DataFrame:
     hi = np.concatenate(hi_idx)
     cap_flag = np.concatenate(capped)
 
-    ids = df["row_id"].to_numpy()
-    sigs = np.frombuffer(b"".join(df["sig"].to_numpy()),
-                         dtype=np.uint32).reshape(len(df), cfg.num_perm)
-    sigs_t = np.frombuffer(b"".join(df["sig_tok"].to_numpy()),
-                           dtype=np.uint32).reshape(len(df), cfg.num_perm_tok)
-    n_chars = df["n_chars"].to_numpy()
-    shas = df[sha_col].to_numpy()
-
+    sha_eq = (sha2[lo] == sha2[hi]).all(axis=1)
     jac, exact, score = score_pair_arrays(
         cfg, sigs[lo], sigs[hi], sigs_t[lo], sigs_t[hi],
-        n_chars[lo], n_chars[hi], shas[lo] == shas[hi])
+        n_chars[lo], n_chars[hi], sha_eq)
 
-    return pd.DataFrame({
-        "id_lo": ids[lo], "id_hi": ids[hi],
-        "block_key": keys[lo],
-        "jac": jac, "exact": exact, "score": score, "capped": cap_flag,
+    return pa.table({
+        "id_lo": pa.array(ids[lo], pa.int64()),
+        "id_hi": pa.array(ids[hi], pa.int64()),
+        "block_key": pa.array(keys[lo], pa.int64()),
+        "jac": pa.array(jac, pa.float64()),
+        "exact": pa.array(exact, pa.bool_()),
+        "score": pa.array(score, pa.float64()),
+        "capped": pa.array(cap_flag, pa.bool_()),
     })
 
 
-def _empty_pairs() -> pd.DataFrame:
+def _empty_pairs():
+    import pyarrow as pa
+
+    return pa.table({
+        "id_lo": pa.array([], pa.int64()), "id_hi": pa.array([], pa.int64()),
+        "block_key": pa.array([], pa.int64()),
+        "jac": pa.array([], pa.float64()), "exact": pa.array([], pa.bool_()),
+        "score": pa.array([], pa.float64()),
+        "capped": pa.array([], pa.bool_()),
+    })
+
+
+def _empty_merged() -> pd.DataFrame:
     return pd.DataFrame({
         "id_lo": pd.Series(dtype="int64"), "id_hi": pd.Series(dtype="int64"),
         "block_key": pd.Series(dtype="int64"),
         "jac": pd.Series(dtype="float64"), "exact": pd.Series(dtype="bool"),
         "score": pd.Series(dtype="float64"), "capped": pd.Series(dtype="bool"),
+        "n_blocks": pd.Series(dtype="int64"),
     })
 
 
 def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """One bucket of scored pairs → one row per (id_lo, id_hi)."""
     if len(df) == 0:
-        df = _empty_pairs()
-        df["n_blocks"] = pd.Series(dtype="int64")
-        return df.drop(columns=["_pk"], errors="ignore")
+        return _empty_merged()
     g = df.groupby(["id_lo", "id_hi"], sort=False)
     out = g.agg(
         block_key=("block_key", "min"),
@@ -123,16 +173,18 @@ def scored_candidate_pairs(block_rows: ray.data.Dataset, cfg: LinkageConfig,
 
     Two bucketed shuffles: (1) by block_key for pair-gen+score, (2) by
     pair hash for the duplicate merge."""
+    import pyarrow as pa
+
     pairs = bucketed_groupby(block_rows, "block_key",
-                             lambda df: _gen_and_score_bucket(df, cfg),
-                             num_buckets=num_buckets)
+                             lambda t: _gen_and_score_bucket(t, cfg),
+                             num_buckets=num_buckets, batch_format="pyarrow")
 
-    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_pk"] = pair_key(df["id_lo"].to_numpy(), df["id_hi"].to_numpy())
-        return df
+    def add_pk(batch: pa.Table) -> pa.Table:
+        pk = pair_key(np.asarray(batch["id_lo"], dtype=np.int64),
+                      np.asarray(batch["id_hi"], dtype=np.int64))
+        return batch.append_column("_pk", pa.array(pk, pa.int64()))
 
-    keyed = pairs.map_batches(add_pk, batch_format="pandas")
+    keyed = pairs.map_batches(add_pk, batch_format="pyarrow")
     merged = bucketed_groupby(keyed, "_pk",
                               lambda df: _merge_bucket(df.drop(columns=["_pk"])),
                               num_buckets=num_buckets)

@@ -19,13 +19,18 @@ def _block_rows(block_key, ids, sig_fill):
         "sig": [sig] * len(ids),
         "sig_tok": [sig_t] * len(ids),
         "n_chars": np.full(len(ids), 100, dtype=np.int64),
-        "content_sha256": ["x" * 64] * len(ids),
+        "sha16": [b"x" * 16] * len(ids),
     })
+
+
+def _gen(df):
+    out = _gen_and_score_bucket(df, CFG)
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
 
 
 def test_all_pairs_small_block():
     df = _block_rows(1, [30, 10, 20], 7)
-    out = _gen_and_score_bucket(df, CFG)
+    out = _gen(df)
     got = set(zip(out["id_lo"], out["id_hi"]))
     assert got == {(10, 20), (10, 30), (20, 30)}
     assert not out["capped"].any()
@@ -35,7 +40,7 @@ def test_all_pairs_small_block():
 
 def test_hot_block_chain_cap():
     ids = list(range(100, 110))  # n=10 > cap=4
-    out = _gen_and_score_bucket(_block_rows(2, ids, 3), CFG)
+    out = _gen(_block_rows(2, ids, 3))
     assert len(out) == 9  # chain, not C(10,2)=45
     assert out["capped"].all()
     got = sorted(zip(out["id_lo"], out["id_hi"]))
@@ -43,14 +48,14 @@ def test_hot_block_chain_cap():
 
 
 def test_singleton_block_no_pairs():
-    out = _gen_and_score_bucket(_block_rows(3, [5], 1), CFG)
+    out = _gen(_block_rows(3, [5], 1))
     assert len(out) == 0
 
 
 def test_multiple_blocks_in_bucket():
     df = pd.concat([_block_rows(1, [1, 2], 7), _block_rows(2, [8, 9], 9)],
                    ignore_index=True)
-    out = _gen_and_score_bucket(df, CFG)
+    out = _gen(df)
     assert set(zip(out["id_lo"], out["id_hi"])) == {(1, 2), (8, 9)}
 
 
