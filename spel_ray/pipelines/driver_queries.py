@@ -162,6 +162,29 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
+def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
+    """rows-only: record pairs sharing a near-duplicate text chunk
+    (partial-document duplication — whole-doc MinHash misses these)."""
+    from spel_ray.stages.chunker import chunk_level_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        return pa.table({"row_id": batch["doc_id"],
+                         "norm_content": batch["text"]})
+
+    records = ds.map_batches(adapt, batch_format="pyarrow")
+    out = chunk_level_pairs(records, LinkageConfig(), window=16, overlap=4,
+                            num_buckets=8).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
+                             "id_hi": pd.Series(dtype="int64"),
+                             "max_chunk_score": pd.Series(dtype="float64"),
+                             "n_shared_chunks": pd.Series(dtype="int64")})
+    out["max_chunk_score"] = out["max_chunk_score"].round(5)
+    return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
 def q_candidate_resolution(sf_dir: str) -> pd.DataFrame:
     """rows-only: SpEL-style fixed-candidate-set scoring — the first 20
     documents form the candidate vocabulary; every document resolves to its

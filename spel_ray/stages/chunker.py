@@ -1,0 +1,218 @@
+"""Overlapping chunker + chunk-level near-duplicate detection.
+
+Direct analog of the reference's sliding-window chunking (254-subword
+windows with 20-token overlap, reference ``model.py:33-34``,
+``utils.py:288-289``) and its overlap-merge vote (``utils.py:230-251``):
+
+- ``chunk_records`` — flat_map each record into overlapping token windows;
+  every chunk keeps ``(row_id, chunk_idx, token_start)`` so downstream ops
+  key on explicit positions, never block order (SURVEY.md §7.4).
+- ``chunk_level_pairs`` — run the MinHash-LSH blocking + pair scoring over
+  the CHUNKS, then vote chunk-pair evidence up to record pairs (max score,
+  count of supporting chunk pairs). This detects records that share large
+  copied regions even when whole-file similarity is low — partial-file
+  duplication, which whole-record MinHash misses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.state.shuffle import bucketed_groupby, pair_key
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def chunk_records(records: ray.data.Dataset, *, window: int = 64,
+                  overlap: int = 16, min_tokens: int = 8,
+                  content_col: str = "norm_content") -> ray.data.Dataset:
+    """records (row_id, norm_content) → chunk rows
+    (row_id, chunk_idx, token_start, chunk_text, chunk_id).
+
+    Stride = window - overlap; chunk_id is a derived stable int63 (like
+    row_id) so chunks can themselves flow through the linkage stages."""
+    if overlap >= window:
+        raise ValueError("overlap must be < window")
+    stride = window - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rid_out, idx_out, start_out, text_out, cid_out = [], [], [], [], []
+        rids = batch["row_id"].to_pylist()
+        texts = batch[content_col].to_pylist()
+        for rid, text in zip(rids, texts):
+            toks = _TOKEN_RE.findall(text or "")
+            if len(toks) < min_tokens:
+                continue
+            pos = 0
+            idx = 0
+            while pos < len(toks):
+                piece = toks[pos: pos + window]
+                if len(piece) < min_tokens and idx > 0:
+                    break
+                chunk = " ".join(piece)
+                cid = int.from_bytes(
+                    hashlib.blake2b(f"{rid}:{idx}".encode(),
+                                    digest_size=8).digest(), "big"
+                ) & 0x7FFFFFFFFFFFFFFF
+                rid_out.append(rid)
+                idx_out.append(idx)
+                start_out.append(pos)
+                text_out.append(chunk)
+                cid_out.append(cid)
+                if pos + window >= len(toks):
+                    break
+                pos += stride
+                idx += 1
+        return pa.table({
+            "row_id": pa.array(rid_out, pa.int64()),
+            "chunk_idx": pa.array(idx_out, pa.int64()),
+            "token_start": pa.array(start_out, pa.int64()),
+            "chunk_text": pa.array(text_out, pa.string()),
+            "chunk_id": pa.array(cid_out, pa.int64()),
+        })
+
+    return records.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_level_pairs(records: ray.data.Dataset, cfg: LinkageConfig | None = None,
+                      *, window: int = 64, overlap: int = 16,
+                      min_chunk_score: float = 0.6,
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """Record pairs that share at least one near-duplicate chunk.
+
+    Pipeline: chunk → sketch/block the chunks (reusing the record stages,
+    with chunk_id playing row_id) → scored chunk pairs → map chunk ids back
+    to record ids (broadcast of the chunk→record map would not scale, so the
+    mapping rides inside the chunk ids' pair rows via a bucketed join on the
+    chunk table) → per-record-pair vote (max score, n supporting chunks,
+    ≙ the reference's overlap conflict vote)."""
+    import pyarrow.compute as pc
+
+    from spel_ray.stages.blocking import block_keys
+    from spel_ray.stages.fingerprint import _norm_ws
+    from spel_ray.stages.pairs import scored_candidate_pairs
+
+    cfg = cfg or LinkageConfig()
+    chunks = chunk_records(records, window=window, overlap=overlap)
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        texts = batch["chunk_text"]
+        shas = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in texts.to_pylist()]
+        return pa.table({
+            "row_id": batch["chunk_id"],
+            "lang": pa.array(["chunk"] * batch.num_rows, pa.string()),
+            "content_sha256": pa.array(shas, pa.string()),
+            "norm_content": _norm_ws(texts),
+            "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+        })
+
+    chunk_recs = chunks.map_batches(adapt, batch_format="pyarrow")
+    blocks = block_keys(chunk_recs, cfg)
+    chunk_pairs = scored_candidate_pairs(blocks, cfg, num_buckets=num_buckets)
+    good = chunk_pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["score"], min_chunk_score)),
+        batch_format="pyarrow")
+
+    # chunk_id -> row_id resolution via two bucketed lookups against the
+    # (small relative to pairs) chunk map
+    cmap = chunks.select_columns(["chunk_id", "row_id"])
+
+    def tag_side(batch: pa.Table, col: str) -> pa.Table:
+        return pa.table({
+            "_jk": batch[col],
+            "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "other": batch["id_hi" if col == "id_lo" else "id_lo"],
+            "score": batch["score"],
+            "rec": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_jk": batch["chunk_id"],
+            "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "other": pa.nulls(batch.num_rows, pa.int64()),
+            "score": pa.nulls(batch.num_rows, pa.float64()),
+            "rec": batch["row_id"],
+        })
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        right = t.filter(pc.equal(t["_side"], 1))
+        lut = dict(zip(right["_jk"].to_pylist(), right["rec"].to_pylist()))
+        left = t.filter(pc.equal(t["_side"], 0))
+        recs = [lut.get(k) for k in left["_jk"].to_pylist()]
+        return pa.table({
+            "rec_a": pa.array(recs, pa.int64()),
+            "other_chunk": left["other"],
+            "score": left["score"],
+        })
+
+    side_a = good.map_batches(lambda b: tag_side(b, "id_lo"),
+                              batch_format="pyarrow")
+    mapped_a = bucketed_groupby(
+        side_a.union(cmap.map_batches(tag_map, batch_format="pyarrow")),
+        "_jk", resolve, num_buckets=num_buckets, batch_format="pyarrow")
+
+    # second hop: other_chunk -> rec_b
+    def tag_side2(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_jk": batch["other_chunk"],
+            "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "other": batch["rec_a"],
+            "score": batch["score"],
+            "rec": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def resolve2(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        right = t.filter(pc.equal(t["_side"], 1))
+        lut = dict(zip(right["_jk"].to_pylist(), right["rec"].to_pylist()))
+        left = t.filter(pc.equal(t["_side"], 0))
+        recs = [lut.get(k) for k in left["_jk"].to_pylist()]
+        a = left["other"].to_pylist()
+        lo = [min(x, y) if y is not None else None for x, y in zip(a, recs)]
+        hi = [max(x, y) if y is not None else None for x, y in zip(a, recs)]
+        return pa.table({
+            "id_lo": pa.array(lo, pa.int64()),
+            "id_hi": pa.array(hi, pa.int64()),
+            "score": left["score"],
+        })
+
+    side_b = mapped_a.map_batches(tag_side2, batch_format="pyarrow")
+    rec_pairs = bucketed_groupby(
+        side_b.union(cmap.map_batches(tag_map, batch_format="pyarrow")),
+        "_jk", resolve2, num_buckets=num_buckets, batch_format="pyarrow")
+
+    # vote up to record pairs: same-record chunk matches dropped
+    def add_pk(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.and_(
+            pa.compute.is_valid(batch["id_lo"]),
+            pa.compute.not_equal(batch["id_lo"], batch["id_hi"])))
+        pk = pair_key(np.asarray(t["id_lo"], dtype=np.int64),
+                      np.asarray(t["id_hi"], dtype=np.int64))
+        return t.append_column("_pk", pa.array(pk, pa.int64()))
+
+    keyed = rec_pairs.map_batches(add_pk, batch_format="pyarrow")
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
+                                 "id_hi": pd.Series(dtype="int64"),
+                                 "max_chunk_score": pd.Series(dtype="float64"),
+                                 "n_shared_chunks": pd.Series(dtype="int64")})
+        g = df.groupby(["id_lo", "id_hi"], sort=False).agg(
+            max_chunk_score=("score", "max"),
+            n_shared_chunks=("score", "size")).reset_index()
+        return g
+
+    return bucketed_groupby(keyed, "_pk",
+                            lambda df: vote(df.drop(columns=["_pk"])),
+                            num_buckets=num_buckets)

@@ -1,0 +1,51 @@
+"""Overlapping chunker + chunk-level near-dup (≙ reference M6 sliding
+windows + A10 overlap vote)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.stages.chunker import chunk_level_pairs, chunk_records
+
+
+def _records(rows):
+    return rd.from_arrow(pa.table({
+        "row_id": pa.array([r[0] for r in rows], pa.int64()),
+        "norm_content": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_chunking_windows_and_overlap():
+    text = " ".join(f"t{i}" for i in range(150))
+    out = chunk_records(_records([(1, text)]), window=64, overlap=16) \
+        .to_pandas().sort_values("chunk_idx")
+    # stride 48: starts at 0, 48, 96 → 3 chunks (96+64 >= 150 ends it)
+    assert list(out["token_start"]) == [0, 48, 96]
+    assert out["chunk_idx"].tolist() == [0, 1, 2]
+    first = out.iloc[0]["chunk_text"].split()
+    second = out.iloc[1]["chunk_text"].split()
+    assert len(first) == 64
+    assert first[48:] == second[:16]  # the 16-token overlap
+    assert out["chunk_id"].is_unique
+
+
+def test_short_records_skipped():
+    out = chunk_records(_records([(1, "a b c"), (2, "")]), window=64,
+                        overlap=16, min_tokens=8)
+    assert out.count() == 0
+
+
+def test_chunk_level_pairs_detect_partial_duplication():
+    shared = " ".join(f"common{i}" for i in range(80))
+    a = shared + " " + " ".join(f"lefty{i}" for i in range(80))
+    b = " ".join(f"righty{i}" for i in range(80)) + " " + shared
+    c = " ".join(f"noise{i}" for i in range(160))
+    out = chunk_level_pairs(_records([(1, a), (2, b), (3, c)]),
+                            LinkageConfig(), window=32, overlap=8,
+                            num_buckets=4).to_pandas()
+    got = set(zip(out["id_lo"], out["id_hi"]))
+    assert (1, 2) in got          # share the 80-token block
+    assert (1, 3) not in got and (2, 3) not in got
+    row = out.set_index(["id_lo", "id_hi"]).loc[(1, 2)]
+    assert row["max_chunk_score"] >= 0.6
+    assert row["n_shared_chunks"] >= 1
