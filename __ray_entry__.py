@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": dq.q_embedding_stats,
         "simhash_clusters": dq.q_simhash_clusters_docs,  # rows-only
         # documents / training-data operators
+        "train_split": dq.q_train_split,
         "exact_dedup_docs": dq.q_exact_dedup_docs,
         "token_counts": dq.q_token_counts,
         "doc_lengths": dq.q_doc_lengths,
@@ -199,6 +200,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             GROUP BY label
             ORDER BY label
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS part
+            FROM documents
+            ORDER BY doc_id
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text

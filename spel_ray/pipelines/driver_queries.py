@@ -116,6 +116,23 @@ def q_simhash_candidates_docs(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
+def q_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/20 train/test split via Knuth multiplicative hashing
+    of doc_id — reproducible across engines AND expressible in SQL, unlike
+    rng-based sampling (≙ dataset split selector M12 + sampling K4)."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64).view(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(100)
+        part = np.where(h < 80, "train", "test")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "part": pa.array(part.tolist(), pa.string())})
+
+    return ds.map_batches(split, batch_format="pyarrow").to_pandas() \
+             .sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------- embeddings
 def _load_queries(sf_dir: str, n_queries: int = 5):
     import pyarrow.parquet as pq
