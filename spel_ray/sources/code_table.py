@@ -33,6 +33,19 @@ def read_code_table(path: str, *, with_truth: bool = False,
     return ray.data.read_parquet(path, columns=cols, **kwargs)
 
 
+def read_code_table_json(path: str) -> ray.data.Dataset:
+    """JSONL source variant (≙ the reference's streamed JSONL corpora, S3/S4,
+    ``data_loader.py:154-178``): one object per line with the input_hint
+    fields; Ray's streaming executor reads without materialization."""
+    ds = ray.data.read_json(path)
+
+    def project(batch):
+        import pyarrow as pa
+        return pa.table({c: batch[c] for c in CODE_COLUMNS})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def documents_as_code_table(sf_dir: str) -> ray.data.Dataset:
     """Adapt the driver's ``documents`` table to the code-table schema so the
     flagship linkage pipeline can run over it (doc_id becomes the path;

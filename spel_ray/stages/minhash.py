@@ -125,8 +125,19 @@ class MinHasher:
         n = len(texts)
         sigs = np.empty((n, self.cfg.num_perm), dtype=np.uint32)
         sigs_t = np.empty((n, self.cfg.num_perm_tok), dtype=np.uint32)
+        # within-batch memo: exact-duplicate content (boilerplate files,
+        # vendored copies) is sketched once — at corpus scale duplicates are
+        # a large fraction of rows and signatures are pure functions of text
+        memo: dict[int, int] = {}
         for i, t in enumerate(texts):
             t = t or ""
+            key = hash(t)  # process-local is fine for a per-batch memo
+            j = memo.get(key)
+            if j is not None and texts[j] == t:
+                sigs[i] = sigs[j]
+                sigs_t[i] = sigs_t[j]
+                continue
+            memo[key] = i
             sigs[i] = self.signature(t).astype(np.uint32)
             sigs_t[i] = self.token_signature(t).astype(np.uint32)
         out = batch.append_column("sig", pa.FixedSizeBinaryArray.from_buffers(

@@ -1,0 +1,44 @@
+"""Source readers: parquet + JSONL give identical pipelines."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spel_ray.sources.code_table import (
+    CODE_COLUMNS, documents_as_code_table, read_code_table,
+    read_code_table_json)
+from spel_ray.sources.synth import generate_code_table
+
+
+def test_parquet_and_jsonl_sources_agree(tmp_path):
+    t = generate_code_table(60, seed=5).drop_columns(["ancestor_id"])
+    pq.write_table(t, str(tmp_path / "code.parquet"))
+    with open(tmp_path / "code.jsonl", "w") as f:
+        for row in t.to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    a = read_code_table(str(tmp_path / "code.parquet")).to_pandas()
+    b = read_code_table_json(str(tmp_path / "code.jsonl")).to_pandas()
+    key = ["repo", "path", "commit"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns) == CODE_COLUMNS
+    assert a.equals(b)
+
+
+def test_documents_adapter_schema():
+    ds = documents_as_code_table("/root/testdata/sf0.001")
+    df = ds.to_pandas()
+    assert list(df.columns) == CODE_COLUMNS
+    assert len(df) == 500
+    assert df["path"].str.startswith("doc").all()
+
+
+def test_column_pruning(tmp_path):
+    t = generate_code_table(20, seed=5)
+    pq.write_table(t, str(tmp_path / "c.parquet"))
+    ds = read_code_table(str(tmp_path / "c.parquet"), columns=["repo", "lang"])
+    assert set(ds.to_pandas().columns) == {"repo", "lang"}
+    ds2 = read_code_table(str(tmp_path / "c.parquet"), with_truth=True)
+    assert "ancestor_id" in ds2.to_pandas().columns
