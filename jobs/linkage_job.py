@@ -1,0 +1,80 @@
+"""Cluster job entrypoint — submit with ``ray job submit``.
+
+On a real fixed-size cluster:
+
+    ray job submit --address http://<head>:8265 \
+        --working-dir . -- python jobs/linkage_job.py \
+        --input s3://bucket/code_tables/ --output s3://bucket/clusters/run1 \
+        --checkpoint-dir s3://bucket/ckpt/run1 --num-buckets 2048
+
+The job connects to the cluster it was submitted to (``ray.init()`` with no
+address inside a job picks up the cluster), streams the input Parquet,
+runs the full linkage pipeline with per-stage checkpoints, and writes
+partitioned Parquet clusters. Re-submitting with the same checkpoint dir
+resumes from the last complete stage.
+
+In this sandbox it runs standalone against a local path:
+
+    python jobs/linkage_job.py --input /tmp/spel_ray_synth/... --output /tmp/out
+
+Sizing guidance (north_rule: N and 4N nodes): set ``--num-buckets`` to
+~2-4× total cluster cores; everything else scales automatically (the
+bucketed shuffles and actor pools size off the bucket count and the
+streaming executor's backpressure).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet file/dir of the code table")
+    p.add_argument("--output", required=True, help="output dir for cluster parquet")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--score-threshold", type=float, default=None)
+    p.add_argument("--use-verifier", action="store_true")
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True)  # in a submitted job this joins the cluster
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import read_code_table
+
+    overrides = {}
+    if args.score_threshold is not None:
+        overrides["score_threshold"] = args.score_threshold
+    if args.use_verifier:
+        overrides["use_verifier"] = True
+    cfg = LinkageConfig(**overrides)
+
+    t0 = time.time()
+    res = run_linkage(read_code_table(args.input), cfg,
+                      num_buckets=args.num_buckets,
+                      checkpoint_dir=args.checkpoint_dir)
+    n_pairs = res.pairs.count()
+    res.clusters.write_parquet(args.output)
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "input": args.input, "output": args.output,
+        "pairs_scored": n_pairs,
+        "seconds": round(elapsed, 2),
+        "pairs_per_sec": round(n_pairs / elapsed, 1),
+        "config": cfg.fingerprint(),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
