@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "ann_topk": dq.q_ann_topk,
         "ann_topk_lsh": dq.q_ann_topk_lsh,           # rows-only (approximate)
+        "ann_topk_ivf": dq.q_ann_topk_ivf,           # rows-only (approximate)
         "embedding_neardup": dq.q_embedding_neardup,
     }
 

@@ -71,6 +71,80 @@ def ann_topk_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
              .sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def train_ivf_centroids(ds: ray.data.Dataset, n_centroids: int = 16, *,
+                        emb_col: str = "embedding", sample_n: int = 4096,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means (Lloyd's, numpy) on a driver-side
+    sample. At corpus scale the sample stays fixed-size — training cost is
+    independent of dataset size; only assignment is distributed."""
+    sample = ds.limit(sample_n).to_pandas()
+    x = _normalize(np.vstack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)          # cosine on unit vecs
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_topk_ivf(ds: ray.data.Dataset, queries: np.ndarray,
+                 query_ids: np.ndarray, k: int = 10, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 n_centroids: int = 16, nprobe: int = 4,
+                 seed: int = 42) -> pd.DataFrame:
+    """IVF ANN: corpus rows are scored only against queries probing their
+    centroid. Each batch assigns its vectors to centroids (one matmul) and
+    scores them against the (broadcast) queries whose nprobe-nearest
+    centroids include that centroid — the partitioning assumption is that
+    cluster membership is data-independent once centroids are trained."""
+    cent = train_ivf_centroids(ds, n_centroids, emb_col=emb_col, seed=seed)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cent = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]     # (Q, nprobe)
+    # centroid -> probing query indices
+    probes: dict[int, list[int]] = {}
+    for qi in range(qm.shape[0]):
+        for c in q_cent[qi]:
+            probes.setdefault(int(c), []).append(qi)
+    ref = ray.put((cent, probes, qm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cent_, probes_, q = ray.get(ref)
+        ids = np.asarray(batch[id_col])
+        emb = _normalize(np.vstack(batch[emb_col].to_pylist()).astype(np.float64))
+        assign = np.argmax(emb @ cent_.T, axis=1)
+        qi_out, id_out, s_out = [], [], []
+        for c in np.unique(assign):
+            qis = probes_.get(int(c))
+            if not qis:
+                continue
+            rows = np.flatnonzero(assign == c)
+            sims = q[qis] @ emb[rows].T                  # (|qis|, |rows|)
+            for a, qi in enumerate(qis):
+                qi_out.extend([qi] * len(rows))
+                id_out.extend(int(ids[r]) for r in rows)
+                s_out.extend(float(s) for s in sims[a])
+        return pa.table({"qi": pa.array(qi_out, pa.int64()),
+                         "vec_id": pa.array(id_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    out = []
+    for qi, g in parts.groupby("qi"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cosine, r.vec_id))
+        for rank, r in enumerate(top, start=1):
+            out.append((int(query_ids[qi]), r.vec_id, round(r.cosine, 5), rank))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine", "rank"]) \
+             .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def ann_topk_lsh(ds: ray.data.Dataset, queries: np.ndarray,
                  query_ids: np.ndarray, k: int = 10, *,
                  id_col: str = "vec_id", emb_col: str = "embedding",

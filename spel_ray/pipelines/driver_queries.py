@@ -162,6 +162,15 @@ def q_ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     return ann_topk_lsh(ds, qm, qids, k=10, n_planes=6, n_tables=12)
 
 
+def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """rows-only: IVF (coarse k-means quantizer + nprobe) approximate ANN."""
+    from spel_ray.functions.similarity import ann_topk_ivf
+    qm, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_topk_ivf(ds, qm, qids, k=10, n_centroids=16, nprobe=4)
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Cosine >= 0.9 pairs among vec_id < 500 (bounded so the oracle's
     quadratic join stays cheap)."""

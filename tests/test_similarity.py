@@ -4,7 +4,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from spel_ray.functions.similarity import ann_topk_bruteforce, ann_topk_lsh
+from spel_ray.functions.similarity import (
+    ann_topk_bruteforce, ann_topk_ivf, ann_topk_lsh, train_ivf_centroids)
 
 
 def _corpus(n=200, dim=16, seed=5):
@@ -35,6 +36,32 @@ def test_bruteforce_matches_numpy():
         # self must rank first with cosine ~1
         assert got[0] == qi
         assert out[(out["query_id"] == qi) & (out["rank"] == 1)]["cosine"].iloc[0] > 0.999
+
+
+def test_ivf_centroids_are_unit_norm():
+    ds, _ = _corpus(n=200)
+    cent = train_ivf_centroids(ds, n_centroids=8)
+    assert cent.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+
+
+def test_ivf_recall_and_true_scores():
+    ds, m = _corpus(n=300)
+    q = m[:5]
+    exact = ann_topk_bruteforce(ds, q, np.arange(5), k=10)
+    approx = ann_topk_ivf(ds, q, np.arange(5), k=10, n_centroids=8, nprobe=4)
+    recall = 0.0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.5
+    merged = approx.merge(exact, on=["query_id", "vec_id"],
+                          suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+    # the query's own vector probes its own centroid → self always found
+    for qi in range(5):
+        assert qi in set(approx[approx["query_id"] == qi]["vec_id"])
 
 
 def test_lsh_recall():
