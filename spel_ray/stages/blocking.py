@@ -68,9 +68,35 @@ class BlockKeyExploder:
                                 digest_size=8).digest()
             exact[i] = np.uint64(int.from_bytes(d, "big")) ^ self._EXACT_FAMILY
 
-        # interleave: per row -> [exact, band_0..band_{B-1}]
-        keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
-        idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
+        # Duplicate-content suppression: a row whose sha already appeared in
+        # this batch emits ONLY its exact key — it is chained to the batch's
+        # first occurrence through the shared exact block, and that
+        # representative carries the LSH bands for cross-content linking.
+        # Cuts the (bands+1)× explosion to 1× for duplicate members;
+        # duplicates in different batches each contribute one band-carrier,
+        # which is harmless (a few redundant band rows, no lost edges).
+        seen: set[str] = set()
+        is_rep = np.empty(n, dtype=bool)
+        for i, s in enumerate(shas):
+            if s in seen:
+                is_rep[i] = False
+            else:
+                is_rep[i] = True
+                seen.add(s)
+
+        keys_parts: list[np.ndarray] = []
+        idx_parts: list[np.ndarray] = []
+        rep_idx = np.flatnonzero(is_rep)
+        dup_idx = np.flatnonzero(~is_rep)
+        # representatives: exact + all bands
+        keys_parts.append(np.concatenate(
+            [exact[rep_idx, None], band_h[rep_idx]], axis=1).reshape(-1))
+        idx_parts.append(np.repeat(rep_idx, cfg.bands + 1))
+        if len(dup_idx):
+            keys_parts.append(exact[dup_idx])
+            idx_parts.append(dup_idx)
+        keys = np.concatenate(keys_parts)
+        idx = np.concatenate(idx_parts).astype(np.int64)
 
         # slim shuffle payload: 128-bit sha (collision-free in practice)
         # instead of the 64-char hex string; lang is already inside the

@@ -61,6 +61,30 @@ def test_every_record_assigned(small_code_table, linkage_result):
             == sorted(cl["cluster_id"].unique())).all()
 
 
+def test_cross_batch_duplicates_cluster():
+    """Duplicate suppression in blocking must not lose connectivity when
+    identical rows land in DIFFERENT sketch batches (each batch elects its
+    own band-carrier; the exact-key chain links them all)."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from spel_ray.config import LinkageConfig
+
+    n = 40
+    t = pa.table({
+        "repo": [f"r{i}" for i in range(n)],
+        "path": [f"p{i}.py" for i in range(n)],
+        "commit": [f"{i:040d}" for i in range(n)],
+        "lang": ["python"] * n,
+        "content": ["import os\nimport sys\n\n__all__ = []\n"] * n,
+    })
+    cfg = LinkageConfig(batch_size=8)   # forces 5 separate sketch batches
+    res = run_linkage(rdata.from_arrow(t), cfg, num_buckets=4)
+    cl = res.clusters.to_pandas()
+    assert len(cl) == n
+    assert cl["cluster_id"].nunique() == 1
+
+
 def test_exact_duplicates_always_cluster(small_code_table, linkage_result):
     """rows with identical content must share a cluster (exact key path)."""
     import pandas as pd
