@@ -54,6 +54,8 @@ def run_bench() -> dict:
     read_code_table(path).map_batches(
         lambda t: t.select(["lang"]), batch_format="pyarrow").count()
 
+    from spel_ray.pipelines.linkage import linkage_stats
+
     num_buckets = max(32, NUM_CPUS * 2)
     blocks = NUM_CPUS * 3
     t0 = time.time()
@@ -63,6 +65,7 @@ def run_bench() -> dict:
     out_dir = f"/tmp/spel_ray_bench/clusters_{NUM_CPUS}"
     res.clusters.write_parquet(out_dir)
     headline = time.time() - t0
+    skew = linkage_stats(res)
 
     queries: dict[str, float] = {"linkage_bench": round(headline, 3)}
 
@@ -86,6 +89,7 @@ def run_bench() -> dict:
         "bench_rows": BENCH_ROWS,
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / headline, 1),
+        "capped_pair_fraction": skew["capped_fraction"],
     }
 
 

@@ -94,3 +94,34 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
 
     return LinkageResult(records=records, pairs=pairs, edges=edges,
                          clusters=clusters)
+
+
+def linkage_stats(res: LinkageResult) -> dict:
+    """Observability over a finished run — most importantly the skew cap:
+    how many merged pairs came only from capped (hot) blocks, so a capped
+    shuffle never reads as 'covered everything' when it didn't
+    (SURVEY.md §7.4 'log what was capped')."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "n": [batch.num_rows],
+            "n_capped": [pc.sum(pc.cast(batch["capped"], pa.int64())).as_py() or 0],
+            "n_exact": [pc.sum(pc.cast(batch["exact"], pa.int64())).as_py() or 0],
+            "n_edges_thr": [pc.sum(pc.cast(
+                pc.greater_equal(batch["score"], 0.0), pa.int64())).as_py() or 0],
+        })
+
+    parts = res.pairs.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    capped = sum(p["n_capped"] for p in parts)
+    exact = sum(p["n_exact"] for p in parts)
+    cl = res.clusters
+    return {
+        "pairs": n,
+        "capped_pairs": capped,
+        "capped_fraction": round(capped / n, 5) if n else 0.0,
+        "exact_pairs": exact,
+        "records": cl.count(),
+    }

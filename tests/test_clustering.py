@@ -57,6 +57,23 @@ def test_long_path_converges_fast():
     assert _components([(i, i + 1) for i in range(1, n)]) == lab
 
 
+def test_distributed_and_driver_paths_agree():
+    """Same random graph through both CC implementations → identical labels
+    (the 200k-row validation of this lives in git history; this is the fast
+    suite version)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 400, 900
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    el = list(zip(np.minimum(a, b)[keep].tolist(),
+                  np.maximum(a, b)[keep].tolist()))
+    nodes = list(range(n_nodes))
+    assert _components(el, nodes=nodes, **DIST) == \
+        _components(el, nodes=nodes)
+
+
 def test_empty_edges():
     edges = rd.from_pandas(pd.DataFrame({"lo": pd.Series(dtype="int64"),
                                          "hi": pd.Series(dtype="int64")}))
