@@ -94,9 +94,11 @@ def _mutate(rng: np.random.Generator, content: str, n_edits: int) -> str:
         lines = content.split("\n")
         if kind == 0:  # rename one identifier globally
             old, new = _ident(rng), _ident(rng)
-            # pick an identifier that actually occurs
-            toks = [t for t in set(content.replace("(", " ").replace(")", " ").split())
-                    if "_" in t and t.isidentifier()]
+            # pick an identifier that actually occurs — sorted() so the draw
+            # is independent of Python's per-process hash seed (a bare set()
+            # here made the corpus differ between processes)
+            toks = sorted({t for t in content.replace("(", " ").replace(")", " ").split()
+                           if "_" in t and t.isidentifier()})
             if toks:
                 old = toks[int(rng.integers(len(toks)))]
                 content = content.replace(old, new)
@@ -181,7 +183,7 @@ def synth_parquet_path(n_rows: int, seed: int = 42,
     concurrent processes (the two `--scaling` runs) can share the cache.
     """
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_rg2k.parquet")
+    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_v2.parquet")
     if not os.path.exists(out):
         t = generate_code_table(n_rows, seed)
         tmp = out + f".tmp.{os.getpid()}"

@@ -68,35 +68,20 @@ class BlockKeyExploder:
                                 digest_size=8).digest()
             exact[i] = np.uint64(int.from_bytes(d, "big")) ^ self._EXACT_FAMILY
 
-        # Duplicate-content suppression: a row whose sha already appeared in
-        # this batch emits ONLY its exact key — it is chained to the batch's
-        # first occurrence through the shared exact block, and that
-        # representative carries the LSH bands for cross-content linking.
-        # Cuts the (bands+1)× explosion to 1× for duplicate members;
-        # duplicates in different batches each contribute one band-carrier,
-        # which is harmless (a few redundant band rows, no lost edges).
-        seen: set[str] = set()
-        is_rep = np.empty(n, dtype=bool)
-        for i, s in enumerate(shas):
-            if s in seen:
-                is_rep[i] = False
-            else:
-                is_rep[i] = True
-                seen.add(s)
+        # NOTE on duplicate suppression: emitting band keys only for the
+        # batch-local first occurrence of each sha was tried and REVERTED —
+        # it made block membership depend on batch boundaries, which vary
+        # with parallelism, so two runs at different cluster sizes produced
+        # different hot-block cap decisions and therefore different clusters.
+        # Determinism across cluster sizes is a north_rule property. A safe
+        # version needs a global carrier election (a slim (sha, min row_id)
+        # pre-pass) — candidate work for a later round. The sketch-stage
+        # memo (minhash.py) keeps the compute saving without any output
+        # dependence on batching.
 
-        keys_parts: list[np.ndarray] = []
-        idx_parts: list[np.ndarray] = []
-        rep_idx = np.flatnonzero(is_rep)
-        dup_idx = np.flatnonzero(~is_rep)
-        # representatives: exact + all bands
-        keys_parts.append(np.concatenate(
-            [exact[rep_idx, None], band_h[rep_idx]], axis=1).reshape(-1))
-        idx_parts.append(np.repeat(rep_idx, cfg.bands + 1))
-        if len(dup_idx):
-            keys_parts.append(exact[dup_idx])
-            idx_parts.append(dup_idx)
-        keys = np.concatenate(keys_parts)
-        idx = np.concatenate(idx_parts).astype(np.int64)
+        # interleave: per row -> [exact, band_0..band_{B-1}]
+        keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
+        idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
 
         # slim shuffle payload: 128-bit sha (collision-free in practice)
         # instead of the 64-char hex string; lang is already inside the

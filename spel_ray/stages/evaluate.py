@@ -71,6 +71,28 @@ def micro_f1_aggregate() -> AggregateFn:
     )
 
 
+def labeled_pairs_from_run(pairs: ray.data.Dataset,
+                           truth: dict[int, int]) -> pd.DataFrame:
+    """FIXTURES.md §2 ``labeled_pairs`` table: the candidate pairs (which by
+    construction share ≥1 blocking key — the north_rule's pair universe)
+    labeled with ground truth: (id_lo, id_hi, block_key, is_match)."""
+    pdf = pairs.select_columns(["id_lo", "id_hi", "block_key"]).to_pandas()
+    pdf["is_match"] = [
+        truth.get(a) is not None and truth.get(a) == truth.get(b)
+        for a, b in zip(pdf["id_lo"], pdf["id_hi"])]
+    return pdf.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
+def expected_clusters_table(clusters: ray.data.Dataset,
+                            records: ray.data.Dataset) -> pd.DataFrame:
+    """FIXTURES.md §3 ``expected_clusters`` golden-output shape:
+    (row_id, cluster_id, content_sha256)."""
+    cl = clusters.to_pandas()
+    sha = records.select_columns(["row_id", "content_sha256"]).to_pandas()
+    out = cl.merge(sha, on="row_id")
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
 def evaluate_clusters(pairs: ray.data.Dataset, clusters: ray.data.Dataset,
                       truth: dict[int, int]) -> dict:
     """Score predicted clusters against ground truth on the in-scope pair set.

@@ -1,0 +1,45 @@
+"""Golden-output regression (FIXTURES.md §3; ≙ the reference's golden
+checkpoint numbers, ``model.py:358-403``): the tiny corpus must produce the
+exact committed cluster table, and the labeled-pair counts are pinned."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.pipelines.linkage import run_linkage
+from spel_ray.sources.synth import generate_code_table
+from spel_ray.stages.evaluate import (
+    expected_clusters_table, labeled_pairs_from_run, micro_pairwise_f1)
+from tests.conftest import row_id_of
+
+GOLDEN = "tests/golden/expected_clusters_tiny.parquet"
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tiny_code_table):
+    ds = rd.from_arrow(tiny_code_table.drop_columns(["ancestor_id"]))
+    return run_linkage(ds, LinkageConfig(), num_buckets=4)
+
+
+def test_expected_clusters_match_golden(tiny_run):
+    got = expected_clusters_table(tiny_run.clusters, tiny_run.records)
+    want = pq.read_table(GOLDEN).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_labeled_pair_goldens(tiny_code_table, tiny_run):
+    truth = {row_id_of(r, p, c): a
+             for r, p, c, a in zip(tiny_code_table["repo"].to_pylist(),
+                                   tiny_code_table["path"].to_pylist(),
+                                   tiny_code_table["commit"].to_pylist(),
+                                   tiny_code_table["ancestor_id"].to_pylist())}
+    lp = labeled_pairs_from_run(tiny_run.pairs, truth)
+    # pinned golden numbers for seed-42 tiny corpus (regenerate the golden
+    # parquet + these constants together if the pipeline semantics change)
+    assert len(lp) == 424
+    assert int(lp["is_match"].sum()) == 416
+    assert set(lp.columns) == {"id_lo", "id_hi", "block_key", "is_match"}
+    assert (lp["id_lo"] < lp["id_hi"]).all()

@@ -12,6 +12,16 @@ def test_schema_and_determinism():
     assert a.equals(b)
 
 
+def test_cross_process_content_hash_pinned():
+    """The corpus must be identical in every process (a bare set() in the
+    mutator once made it depend on PYTHONHASHSEED — caught by the golden
+    clusters test). Pinned golden hash for n=300, seed=42."""
+    import hashlib
+    t = generate_code_table(300, seed=42)
+    h = hashlib.sha256("".join(t["content"].to_pylist()).encode()).hexdigest()
+    assert h.startswith("b911ccb9f63bff30")
+
+
 def test_different_seed_differs():
     a = generate_code_table(100, seed=1)
     b = generate_code_table(100, seed=2)
