@@ -33,6 +33,13 @@ class LinkageConfig:
 
     # --- exact blocking ---
     sha_prefix_len: int = 16        # (lang, sha256[:p]) exact key, catches identical content
+    suppress_dup_bands: bool = False  # opt-in: globally elect ONE band-carrier
+    # per duplicate content (slim pre-pass + broadcast), so duplicate members
+    # emit only their exact key. Deterministic (election is global, not
+    # per-batch). Big win on duplicate-heavy corpora; costs one extra slim
+    # pass over the input. The broadcast carrier map must fit driver memory
+    # (guarded by max_carrier_broadcast).
+    max_carrier_broadcast: int = 5_000_000
 
     # --- pair generation / skew handling ---
     max_block_pairs_n: int = 64     # blocks with <= n rows emit all C(n,2) pairs

@@ -70,7 +70,13 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
         # default path never pins content: blocking consumes records as one
         # stream and assignment re-derives the (cheap) id pass.
         records = records.materialize()
-    blocks = stage("block_keys", lambda: block_keys(records, cfg))
+    carriers_ref = None
+    if cfg.suppress_dup_bands:
+        from spel_ray.stages.blocking import elect_band_carriers
+        carriers_ref = elect_band_carriers(records, cfg,
+                                           num_buckets=max(8, num_buckets // 2))
+    blocks = stage("block_keys", lambda: block_keys(records, cfg,
+                                                    carriers_ref=carriers_ref))
     pairs = stage("pairs", lambda: scored_candidate_pairs(
         blocks, cfg, num_buckets=num_buckets))
     # The merged pair set has several consumers (edges, evaluation, optional

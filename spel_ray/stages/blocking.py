@@ -39,12 +39,18 @@ class BlockKeyExploder:
 
     _EXACT_FAMILY = np.uint64(0xE0E0E0E0E0E0E0E0)
 
-    def __init__(self, cfg: LinkageConfig):
+    def __init__(self, cfg: LinkageConfig, carriers_ref=None):
         self.cfg = cfg
         self.hasher = MinHasher(cfg)
         # per-band mixing constants so band b and band b' never collide
         rng = np.random.default_rng(cfg.seed + 1)
         self.band_salt = rng.integers(1, 2**63, size=cfg.bands, dtype=np.uint64) | np.uint64(1)
+        # optional globally-elected band carriers: {sha_key -> carrier row_id}
+        # for duplicated contents; shipped once per process via ray.put
+        self.carriers = None
+        if carriers_ref is not None:
+            import ray as _ray
+            self.carriers = _ray.get(carriers_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -68,20 +74,36 @@ class BlockKeyExploder:
                                 digest_size=8).digest()
             exact[i] = np.uint64(int.from_bytes(d, "big")) ^ self._EXACT_FAMILY
 
-        # NOTE on duplicate suppression: emitting band keys only for the
-        # batch-local first occurrence of each sha was tried and REVERTED —
-        # it made block membership depend on batch boundaries, which vary
-        # with parallelism, so two runs at different cluster sizes produced
-        # different hot-block cap decisions and therefore different clusters.
-        # Determinism across cluster sizes is a north_rule property. A safe
-        # version needs a global carrier election (a slim (sha, min row_id)
-        # pre-pass) — candidate work for a later round. The sketch-stage
-        # memo (minhash.py) keeps the compute saving without any output
-        # dependence on batching.
-
-        # interleave: per row -> [exact, band_0..band_{B-1}]
-        keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
-        idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
+        # NOTE on duplicate suppression: a BATCH-local first-occurrence
+        # election was tried and reverted — block membership depended on
+        # batch boundaries (parallelism-dependent) and broke determinism
+        # across cluster sizes. The safe variant below uses a GLOBAL carrier
+        # election computed by a slim pre-pass (see elect_band_carriers):
+        # rows of duplicated content emit their LSH bands only if they ARE
+        # the globally-elected carrier — a pure per-row decision, identical
+        # under any batching.
+        if self.carriers:
+            row_ids = np.asarray(batch["row_id"], dtype=np.int64)
+            sha_keys = _sha_keys_from_hex(shas)
+            is_carrier = np.ones(n, dtype=bool)
+            for i in range(n):
+                c = self.carriers.get(int(sha_keys[i]))
+                if c is not None and c != int(row_ids[i]):
+                    is_carrier[i] = False
+            rep_idx = np.flatnonzero(is_carrier)
+            dup_idx = np.flatnonzero(~is_carrier)
+            keys_parts = [np.concatenate(
+                [exact[rep_idx, None], band_h[rep_idx]], axis=1).reshape(-1)]
+            idx_parts = [np.repeat(rep_idx, cfg.bands + 1)]
+            if len(dup_idx):
+                keys_parts.append(exact[dup_idx])
+                idx_parts.append(dup_idx)
+            keys = np.concatenate(keys_parts)
+            idx = np.concatenate(idx_parts).astype(np.int64)
+        else:
+            # interleave: per row -> [exact, band_0..band_{B-1}]
+            keys = np.concatenate([exact[:, None], band_h], axis=1).reshape(-1)
+            idx = np.repeat(np.arange(n, dtype=np.int64), cfg.bands + 1)
 
         # slim shuffle payload: 128-bit sha (collision-free in practice)
         # instead of the 64-char hex string; lang is already inside the
@@ -100,6 +122,49 @@ class BlockKeyExploder:
             0, "block_key", pa.array(keys.view(np.int64), pa.int64()))
 
 
+def _sha_keys_from_hex(shas: list[str]) -> np.ndarray:
+    """int64 keys from the first 16 hex chars of each content sha."""
+    return np.array([int(s[:16], 16) & 0x7FFFFFFFFFFFFFFF for s in shas],
+                    dtype=np.int64)
+
+
+def elect_band_carriers(records: ray.data.Dataset, cfg: LinkageConfig,
+                        *, num_buckets: int = 32):
+    """Global band-carrier election for duplicated contents.
+
+    One slim shuffle over (sha_key, row_id): every sha group with ≥2 members
+    elects its min row_id as the sole LSH-band carrier. Returns a
+    ``ray.put`` handle to {sha_key: carrier_row_id} (None when the map would
+    exceed cfg.max_carrier_broadcast — suppression is then skipped rather
+    than risking driver memory)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keys = _sha_keys_from_hex(batch["content_sha256"].to_pylist())
+        return pa.table({"sha_key": pa.array(keys, pa.int64()),
+                         "row_id": batch["row_id"]})
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sha_key", sort=False)["row_id"].agg(["min", "size"])
+        g = g[g["size"] >= 2]
+        return pd.DataFrame({"sha_key": g.index.to_numpy(),
+                             "carrier": g["min"].to_numpy()})
+
+    carriers_ds = bucketed_groupby(
+        records.map_batches(slim, batch_format="pyarrow"),
+        "sha_key", elect, num_buckets=num_buckets)
+    n = carriers_ds.count()
+    if n == 0 or n > cfg.max_carrier_broadcast:
+        return None
+    df = carriers_ds.to_pandas()
+    return _ray.put(dict(zip(df["sha_key"].astype("int64"),
+                             df["carrier"].astype("int64"))))
+
+
 # Per-worker-process caches: stateless *tasks* stay elastic (no actor pool to
 # size), while the permutation tables are still built once per process, not
 # once per batch (≙ reference tokenizer/vocab singletons T6/T7,
@@ -107,20 +172,27 @@ class BlockKeyExploder:
 _STATE_CACHE: dict[tuple, object] = {}
 
 
-def _cached(kind: str, cfg: LinkageConfig):
-    key = (kind, cfg.fingerprint())
+def _cached(kind: str, cfg: LinkageConfig, carriers_ref=None):
+    key = (kind, cfg.fingerprint(), carriers_ref is not None)
     obj = _STATE_CACHE.get(key)
     if obj is None:
-        obj = (MinHasher if kind == "minhash" else BlockKeyExploder)(cfg)
+        if kind == "minhash":
+            obj = MinHasher(cfg)
+        else:
+            obj = BlockKeyExploder(cfg, carriers_ref=carriers_ref)
         _STATE_CACHE[key] = obj
     return obj
 
 
-def block_keys(ds: ray.data.Dataset, cfg: LinkageConfig) -> ray.data.Dataset:
-    """fingerprinted ds → sketch (MinHash signature) → exploded block rows."""
+def block_keys(ds: ray.data.Dataset, cfg: LinkageConfig,
+               carriers_ref=None) -> ray.data.Dataset:
+    """fingerprinted ds → sketch (MinHash signature) → exploded block rows.
+
+    ``carriers_ref``: optional handle from :func:`elect_band_carriers` —
+    enables deterministic duplicate band suppression."""
     sketched = ds.map_batches(
         lambda b, cfg=cfg: _cached("minhash", cfg)(b),
         batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
     return sketched.map_batches(
-        lambda b, cfg=cfg: _cached("explode", cfg)(b),
+        lambda b, cfg=cfg, cr=carriers_ref: _cached("explode", cfg, cr)(b),
         batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)

@@ -1,0 +1,69 @@
+"""Opt-in global duplicate band suppression: identical clusters, fewer block
+rows, and batch-size independence (the property the batch-local variant
+broke)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.pipelines.linkage import run_linkage
+from spel_ray.sources.synth import generate_code_table
+from spel_ray.stages.blocking import block_keys, elect_band_carriers
+from spel_ray.stages.fingerprint import fingerprint
+
+
+def _dup_heavy(n=120):
+    half = n // 2
+    return pa.table({
+        "repo": [f"r{i}" for i in range(n)],
+        "path": [f"p{i}.py" for i in range(n)],
+        "commit": [f"{i:040d}" for i in range(n)],
+        "lang": ["python"] * n,
+        "content": (["import os\nmain()"] * half
+                    + [f"def f{i}(): return {i} " * 8 for i in range(n - half)]),
+    })
+
+
+def test_block_row_reduction_and_same_clusters():
+    t = _dup_heavy()
+    ds = rd.from_arrow(t)
+    off = LinkageConfig(suppress_dup_bands=False)
+    on = LinkageConfig(suppress_dup_bands=True)
+
+    rec = fingerprint(ds)
+    carriers = elect_band_carriers(rec, on, num_buckets=4)
+    assert carriers is not None
+    n_plain = block_keys(rec, off).count()
+    n_supp = block_keys(rec, on, carriers_ref=carriers).count()
+    assert n_supp < n_plain  # 59 dup members drop their 16 band rows each
+
+    a = run_linkage(ds, off, num_buckets=4).clusters.to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    b = run_linkage(ds, on, num_buckets=4).clusters.to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_batch_size_independence():
+    """The global election must produce identical output at any batch size —
+    the exact property the reverted batch-local variant violated."""
+    t = generate_code_table(150, seed=4)
+    ds = rd.from_arrow(t.drop_columns(["ancestor_id"]))
+    outs = []
+    for bs in (8, 64, 2048):
+        cfg = LinkageConfig(suppress_dup_bands=True, batch_size=bs)
+        res = run_linkage(ds, cfg, num_buckets=4)
+        outs.append(res.clusters.to_pandas()
+                    .sort_values("row_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert outs[1].equals(outs[2])
+
+
+def test_no_duplicates_returns_none():
+    t = generate_code_table(40, seed=13)
+    import pandas as pd
+    df = t.to_pandas().drop_duplicates("content")
+    ds = rd.from_pandas(df.drop(columns=["ancestor_id"]))
+    cfg = LinkageConfig(suppress_dup_bands=True)
+    carriers = elect_band_carriers(fingerprint(ds), cfg, num_buckets=4)
+    assert carriers is None  # nothing duplicated → no map, no suppression
