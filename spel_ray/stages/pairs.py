@@ -113,6 +113,16 @@ def _gen_and_score_bucket(t, cfg: LinkageConfig):
     hi = np.concatenate(hi_idx)
     cap_flag = np.concatenate(capped)
 
+    # incremental mode: when an ``is_new`` column is present, old-old pairs
+    # are skipped — their verdicts are already encoded in the previous run's
+    # cluster membership edges (see pipelines/incremental.py)
+    if "is_new" in t.column_names:
+        new_flag = np.asarray(t["is_new"], dtype=bool)[sel]
+        keep_pair = new_flag[lo] | new_flag[hi]
+        lo, hi, cap_flag = lo[keep_pair], hi[keep_pair], cap_flag[keep_pair]
+        if len(lo) == 0:
+            return _empty_pairs()
+
     sha_eq = (sha2[lo] == sha2[hi]).all(axis=1)
     jac, exact, score = score_pair_arrays(
         cfg, sigs[lo], sigs[hi], sigs_t[lo], sigs_t[hi],

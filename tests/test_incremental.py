@@ -1,0 +1,75 @@
+"""Incremental linkage: base run + increment == full rerun on the union."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.pipelines.incremental import incremental_link
+from spel_ray.pipelines.linkage import run_linkage
+from spel_ray.sources.synth import generate_code_table
+from spel_ray.stages.blocking import block_keys
+
+
+@pytest.fixture(scope="module")
+def split_corpus():
+    t = generate_code_table(300, seed=21).drop_columns(["ancestor_id"])
+    base = t.slice(0, 200)
+    inc = t.slice(200, 100)
+    return t, base, inc
+
+
+def test_incremental_matches_full_rerun(split_corpus):
+    full_t, base_t, inc_t = split_corpus
+    cfg = LinkageConfig()
+
+    base = run_linkage(rd.from_arrow(base_t), cfg, num_buckets=4)
+    base_blocks = block_keys(base.records, cfg).materialize()
+
+    inc = incremental_link(rd.from_arrow(inc_t), base_blocks, base.clusters,
+                           cfg, num_buckets=4)
+    got = inc.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    full = run_linkage(rd.from_arrow(full_t), cfg, num_buckets=4)
+    want = full.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    assert len(got) == full_t.num_rows
+    assert got.equals(want)
+
+
+def test_increment_joins_existing_cluster():
+    """A new exact copy of an old record must land in the old cluster."""
+    cfg = LinkageConfig()
+    old = pa.table({
+        "repo": ["a", "b"], "path": ["x.py", "y.py"],
+        "commit": ["0" * 40, "1" * 40], "lang": ["python"] * 2,
+        "content": ["import os\nrun()", "totally different body here ok"],
+    })
+    base = run_linkage(rd.from_arrow(old), cfg, num_buckets=4)
+    base_blocks = block_keys(base.records, cfg).materialize()
+
+    new = pa.table({
+        "repo": ["c"], "path": ["z.py"], "commit": ["2" * 40],
+        "lang": ["python"], "content": ["import os\nrun()"],
+    })
+    inc = incremental_link(rd.from_arrow(new), base_blocks, base.clusters,
+                           cfg, num_buckets=4)
+    cl = inc.clusters.to_pandas()
+    assert len(cl) == 3
+    # the two identical-content rows share a cluster; the other is alone
+    assert cl["cluster_id"].nunique() == 2
+
+
+def test_old_old_pairs_skipped(split_corpus):
+    """Incremental pair set only contains pairs touching a new row."""
+    _, base_t, inc_t = split_corpus
+    cfg = LinkageConfig()
+    base = run_linkage(rd.from_arrow(base_t), cfg, num_buckets=4)
+    base_blocks = block_keys(base.records, cfg).materialize()
+    base_pair_keys = set(zip(*[base.pairs.to_pandas()[c] for c in ("id_lo", "id_hi")]))
+
+    inc = incremental_link(rd.from_arrow(inc_t), base_blocks, base.clusters,
+                           cfg, num_buckets=4)
+    inc_pairs = set(zip(*[inc.pairs.to_pandas()[c] for c in ("id_lo", "id_hi")]))
+    # no pair of the incremental run is an old-old pair from the base run
+    assert not (inc_pairs & base_pair_keys)
