@@ -184,11 +184,16 @@ def verify_borderline(pairs: ray.data.Dataset, records: ray.data.Dataset,
                               batch_format="pandas",
                               batch_size=cfg.pair_batch_size,
                               concurrency=(1, cfg.scorer_concurrency))
-    # align column order and block type (Arrow) before union
-    cols = sorted(set(passthrough.columns()))
-    passthrough = passthrough.select_columns(cols)
-    verified = verified.select_columns(cols).map_batches(
-        lambda t: t, batch_format="pyarrow")
+    # align column order and block type (Arrow) before union. Column list
+    # comes from the INPUT schema (+verified): either branch may be empty
+    # and schema-less (no borderline pairs / all borderline).
+    cols = sorted(set(pairs.columns()) | {"verified"})
+
+    def align(batch: pa.Table) -> pa.Table:
+        return batch.select(cols)
+
+    passthrough = passthrough.map_batches(align, batch_format="pyarrow")
+    verified = verified.map_batches(align, batch_format="pyarrow")
     return passthrough.union(verified)
 
 

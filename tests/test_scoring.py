@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from spel_ray.config import LinkageConfig
@@ -79,6 +80,37 @@ def test_bucketed_content_join_resolves_and_keeps_misses():
     assert out.loc[12, "content_lo"] == "bbb"
     assert pd.isna(out.loc[99, "content_lo"])  # miss kept, null content
     assert len(out) == 3
+
+
+@pytest.mark.parametrize("scores,expect_verified", [
+    ([0.9, 0.1], [False, False]),   # nothing borderline
+    ([0.5, 0.6], [True, True]),     # everything borderline
+    ([], []),                       # no pairs at all
+])
+def test_verify_borderline_band_edges(scores, expect_verified):
+    """Either branch of the split may be empty and schema-less — the union
+    must still produce the full column set."""
+    cfg = LinkageConfig(use_verifier=True, verify_low=0.4, verify_high=0.8)
+    n = len(scores)
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": pa.array(list(range(1, n + 1)), pa.int64()),
+        "id_hi": pa.array(list(range(101, 101 + n)), pa.int64()),
+        "block_key": pa.array([0] * n, pa.int64()),
+        "jac": pa.array(scores, pa.float64()),
+        "exact": pa.array([False] * n),
+        "score": pa.array(scores, pa.float64()),
+        "capped": pa.array([False] * n),
+        "n_blocks": pa.array([1] * n, pa.int64()),
+    }))
+    records = rd.from_arrow(pa.table({
+        "row_id": pa.array(list(range(1, 10)) + list(range(101, 110)), pa.int64()),
+        "norm_content": pa.array(["x y z"] * 18, pa.string()),
+    }))
+    out = verify_borderline(pairs, records, cfg, num_buckets=4).to_pandas()
+    if not expect_verified:
+        assert len(out) == 0   # empty input → empty (possibly column-less) out
+    else:
+        assert sorted(out["verified"]) == sorted(expect_verified)
 
 
 def test_verify_borderline_only_touches_band():
