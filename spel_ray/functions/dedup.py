@@ -243,6 +243,9 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
 
 def _broadcast_normalized(ds: ray.data.Dataset, id_col: str, emb_col: str):
     df = ds.select_columns([id_col, emb_col]).to_pandas()
+    if len(df) == 0:
+        return ray.put((np.array([], dtype=np.int64),
+                        np.zeros((0, 1), dtype=np.float64)))
     m = np.vstack(df[emb_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ray.put((df[id_col].to_numpy(), m))

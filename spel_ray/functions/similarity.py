@@ -61,6 +61,11 @@ def ann_topk_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=batch_size).to_pandas()
+    if parts.empty:   # empty corpus: no candidates for any query
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
     out = []
     for qi, g in parts.groupby("qi"):
         top = heapq.nsmallest(k, g.itertuples(index=False),
@@ -78,6 +83,8 @@ def train_ivf_centroids(ds: ray.data.Dataset, n_centroids: int = 16, *,
     sample. At corpus scale the sample stays fixed-size — training cost is
     independent of dataset size; only assignment is distributed."""
     sample = ds.limit(sample_n).to_pandas()
+    if len(sample) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x = _normalize(np.vstack(sample[emb_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -135,6 +142,11 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: np.ndarray,
 
     parts = ds.map_batches(score, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
+    if parts.empty:   # empty corpus: no candidates for any query
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
     out = []
     for qi, g in parts.groupby("qi"):
         top = heapq.nsmallest(k, g.itertuples(index=False),
@@ -197,6 +209,11 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: np.ndarray,
 
     parts = ds.map_batches(probe, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
+    if parts.empty:   # empty corpus: no candidates for any query
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64"),
+                             "rank": pd.Series(dtype="int64")})
     out = []
     for qi, g in parts.groupby("qi"):
         g = g.drop_duplicates("vec_id")
