@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": dq.q_topk_per_group,
         "union_names": dq.q_union_names,
         "sessionize": dq.q_sessionize,
+        "asof_join": dq.q_asof_join,
         "sliding_window": dq.q_sliding_window,
         "embedding_stats": dq.q_embedding_stats,
         "simhash_clusters": dq.q_simhash_clusters_docs,  # rows-only
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": dq.q_quality,                     # rows-only
         "doc_fingerprints": dq.q_doc_fingerprints,   # rows-only
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
+        "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
         "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
@@ -178,6 +180,17 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE new_session = 1
             GROUP BY user_id
             ORDER BY user_id
+        """,
+        "asof_join": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "sliding_window": """
             SELECT event_type, window_start_step,

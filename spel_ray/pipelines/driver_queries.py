@@ -107,6 +107,18 @@ def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_linkage_docs_verified(sf_dir: str) -> pd.DataFrame:
+    """rows-only: the flagship linkage over documents WITH the exact
+    content verifier enabled (actor pool + bucketed content join) — covers
+    the opt-in precision path in driver runs."""
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+
+    cfg = LinkageConfig(use_verifier=True)
+    res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
+    return res.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+
 def q_simhash_candidates_docs(sf_dir: str) -> pd.DataFrame:
     """rows-only: SimHash near-dup candidate pairs (hamming <= 3)."""
     from spel_ray.functions.dedup import add_simhash, simhash_candidates
@@ -339,6 +351,72 @@ def q_simhash_clusters_docs(sf_dir: str) -> pd.DataFrame:
                           batch_format="pyarrow")
     out = assign_clusters(recs, star, num_buckets=8).to_pandas()
     return out.sort_values("row_id").reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (J-family, ≙ the reference's ordered positional alignment
+    ``utils.py:425-545``): each event picks the latest order of the same
+    customer at-or-before its timestamp. Both sides are bucketed by the key
+    and resolved with ``pd.merge_asof`` inside the bucket — the guide's
+    prescribed pattern for range/as-of joins. Orders are pre-deduped to one
+    per (custkey, date) so tie semantics match the SQL oracle exactly."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "_k": batch["user_id"],
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            "event_id": batch["event_id"],
+            "ts": batch["ts"],
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "_k": pa.array(np.asarray(batch["o_custkey"], dtype=np.int64),
+                           pa.int64()),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "event_id": pa.nulls(n, pa.int64()),
+            "ts": pa.nulls(n, pa.timestamp("us")),
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate": batch["o_orderdate"].cast(pa.timestamp("us")),
+        })
+
+    u = events.map_batches(tag_left, batch_format="pyarrow").union(
+        orders.map_batches(tag_right, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 0][["_k", "event_id", "ts"]].copy()
+        right = df[df["_side"] == 1][["_k", "o_orderkey", "o_orderdate"]].copy()
+        if left.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "o_orderkey": pd.Series(dtype="int64")})
+        # dedupe ties: keep max orderkey per (cust, date) — mirrored in SQL
+        right = (right.sort_values(["_k", "o_orderdate", "o_orderkey"])
+                      .drop_duplicates(["_k", "o_orderdate"], keep="last"))
+        left = left.sort_values("ts")
+        right = right.sort_values("o_orderdate")
+        m = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                          by="_k", direction="backward",
+                          allow_exact_matches=True)
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["_k"].astype("int64"),
+            "o_orderkey": m["o_orderkey"].fillna(-1).astype("int64"),
+        })
+
+    out = bucketed_groupby(u, "_k", resolve, num_buckets=8)
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 def q_topk_per_group(sf_dir: str) -> pd.DataFrame:

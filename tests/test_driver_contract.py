@@ -42,7 +42,7 @@ def test_every_oracle_has_a_query():
 # fast, representative subset (the full matrix runs in the driver)
 ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "union_names", "sessionize", "token_counts", "doc_lengths",
-           "ann_topk", "events_window"]
+           "ann_topk", "events_window", "asof_join", "train_split"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
