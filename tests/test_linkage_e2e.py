@@ -61,6 +61,16 @@ def test_every_record_assigned(small_code_table, linkage_result):
             == sorted(cl["cluster_id"].unique())).all()
 
 
+def test_linkage_stats(linkage_result, small_code_table):
+    from spel_ray.pipelines.linkage import linkage_stats
+    s = linkage_stats(linkage_result)
+    assert s["records"] == small_code_table.num_rows
+    assert s["pairs"] > 0
+    assert 0.0 <= s["capped_fraction"] <= 1.0
+    assert s["capped_pairs"] <= s["pairs"]
+    assert s["exact_pairs"] <= s["pairs"]
+
+
 def test_cross_batch_duplicates_cluster():
     """Duplicate suppression in blocking must not lose connectivity when
     identical rows land in DIFFERENT sketch batches (each batch elects its
