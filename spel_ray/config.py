@@ -43,7 +43,6 @@ class LinkageConfig:
 
     # --- pair generation / skew handling ---
     max_block_pairs_n: int = 64     # blocks with <= n rows emit all C(n,2) pairs
-    max_block_rows: int = 10_000    # hard cap on rows considered per block (memory guard)
     # Blocks larger than max_block_pairs_n emit a sorted chain (r0,r1),(r1,r2)...
     # instead of all pairs: n-1 edges preserve connectivity for transitive
     # clustering while bounding a hot key's output at O(n) instead of O(n^2).

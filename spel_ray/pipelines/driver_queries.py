@@ -196,6 +196,7 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
                              "id_hi": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
+    out = out[["id_lo", "id_hi", "cosine"]]
     out["cosine"] = out["cosine"].round(5)
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
@@ -394,9 +395,15 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     u = events.map_batches(tag_left, batch_format="pyarrow").union(
         orders.map_batches(tag_right, batch_format="pyarrow"))
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["_side"] == 0][["_k", "event_id", "ts"]].copy()
-        right = df[df["_side"] == 1][["_k", "o_orderkey", "o_orderdate"]].copy()
+    def resolve(t: pa.Table) -> pd.DataFrame:
+        # pyarrow through the shuffle (ADVICE r1): the tagged union carries
+        # nullable int64 event_id/o_orderkey — a pandas shuffle format would
+        # promote them to float64. Split sides FIRST (each side's own ids are
+        # non-null), then convert.
+        left = t.filter(pc.equal(t["_side"], 0)) \
+                .select(["_k", "event_id", "ts"]).to_pandas()
+        right = t.filter(pc.equal(t["_side"], 1)) \
+                 .select(["_k", "o_orderkey", "o_orderdate"]).to_pandas()
         if left.empty:
             return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                                  "user_id": pd.Series(dtype="int64"),
@@ -415,7 +422,8 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
             "o_orderkey": m["o_orderkey"].fillna(-1).astype("int64"),
         })
 
-    out = bucketed_groupby(u, "_k", resolve, num_buckets=8)
+    out = bucketed_groupby(u, "_k", resolve, num_buckets=8,
+                           batch_format="pyarrow")
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

@@ -102,12 +102,14 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
                          clusters=clusters)
 
 
-def linkage_stats(res: LinkageResult) -> dict:
+def linkage_stats(res: LinkageResult, cfg: LinkageConfig | None = None) -> dict:
     """Observability over a finished run — most importantly the skew cap:
     how many merged pairs came only from capped (hot) blocks, so a capped
     shuffle never reads as 'covered everything' when it didn't
     (SURVEY.md §7.4 'log what was capped')."""
     import pyarrow as pa
+
+    thr = (cfg or LinkageConfig()).score_threshold
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -116,7 +118,7 @@ def linkage_stats(res: LinkageResult) -> dict:
             "n_capped": [pc.sum(pc.cast(batch["capped"], pa.int64())).as_py() or 0],
             "n_exact": [pc.sum(pc.cast(batch["exact"], pa.int64())).as_py() or 0],
             "n_edges_thr": [pc.sum(pc.cast(
-                pc.greater_equal(batch["score"], 0.0), pa.int64())).as_py() or 0],
+                pc.greater_equal(batch["score"], thr), pa.int64())).as_py() or 0],
         })
 
     parts = res.pairs.map_batches(partial, batch_format="pyarrow").take_all()
@@ -129,5 +131,6 @@ def linkage_stats(res: LinkageResult) -> dict:
         "capped_pairs": capped,
         "capped_fraction": round(capped / n, 5) if n else 0.0,
         "exact_pairs": exact,
+        "edges_over_threshold": sum(p["n_edges_thr"] for p in parts),
         "records": cl.count(),
     }

@@ -3,8 +3,8 @@
 Two key families (the engine's candidate-set construction, ≙ reference
 ``candidate_manager.py:31-56``):
 
-- exact keys ``x:{lang}:{sha256[:p]}`` — identical-content fast path;
-- LSH band keys ``b{band:02d}:{bandhash:016x}`` — near-duplicate path.
+- exact keys from ``(lang, sha256[:p])`` — identical-content fast path;
+- LSH band keys — near-duplicate path.
 
 Records appearing under multiple keys later produce duplicate candidate
 pairs; those are merged downstream exactly like the reference's overlapping
@@ -16,9 +16,16 @@ scoring. Tradeoff, documented: ~(bands+1)× amplification of the sketch
 columns through one shuffle, in exchange for zero extra all-to-all joins.
 ``content`` itself is dropped here — it is only re-joined for the borderline
 verifier band (scoring.py), never shuffled wholesale.
+
+Everything in the hot path is vectorized: band hashes are one
+(n, bands, rows_per_band) tensor contraction, exact keys and sha bytes are
+computed straight from the Arrow string buffers with numpy gathers — no
+per-row hashing, no per-row hex decode.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +36,67 @@ from spel_ray.stages.minhash import MinHasher, sigs_to_numpy
 
 BLOCK_SCHEMA_COLS = ["block_key", "row_id", "sig", "sig_tok", "n_chars", "sha16"]
 
+_EXACT_FAMILY = np.uint64(0xE0E0E0E0E0E0E0E0)
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _sha_nibbles(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, 64) uint8 nibble values of a lowercase-hex sha256 column —
+    a vectorized gather over the Arrow string buffers (no per-row decode)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 64), dtype=np.uint8)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    codes = data[offs[:-1, None] + np.arange(64)]
+    # lowercase hex: '0'-'9' -> code-48, 'a'-'f' -> code-87
+    return np.where(codes >= 97, codes - 87, codes - 48).astype(np.uint8)
+
+
+def _sha16_bytes(nibs: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 — first 16 raw bytes of the sha from its nibbles."""
+    return ((nibs[:, 0:32:2] << 4) | nibs[:, 1:32:2]).astype(np.uint8)
+
+
+def _sha8_u64(sha16: np.ndarray) -> np.ndarray:
+    """(n,) uint64 — first 8 sha bytes, big-endian (matches int(hex[:16],16))."""
+    b8 = np.ascontiguousarray(sha16[:, :8])
+    return b8.view(">u8").ravel().astype(np.uint64)
+
+
+def _lang_salts(langs: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n,) uint64 — a deterministic salt per lang value, computed once per
+    DISTINCT lang (dictionary-encode, then gather)."""
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    d = langs.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    salts = np.array(
+        [int.from_bytes(hashlib.blake2b((s or "").encode(),
+                                        digest_size=8).digest(), "big")
+         for s in uniq], dtype=np.uint64)
+    if len(salts) == 0:
+        return np.zeros(len(langs), dtype=np.uint64)
+    codes = np.asarray(d.indices, dtype=np.int64)
+    return salts[codes]
+
+
+def carrier_keys(langs, shas) -> np.ndarray:
+    """int64 carrier-election keys per row: a hash of (lang, full sha8).
+
+    Mirrors the exact-key family's (lang, sha) identity — ADVICE r1: electing
+    on sha alone made identical content under different langs share no block
+    at all under suppress_dup_bands (the non-carrier kept only its
+    lang-specific exact key while its bands were suppressed)."""
+    nibs = _sha_nibbles(shas)
+    sha8 = _sha8_u64(_sha16_bytes(nibs))
+    k = (sha8 ^ _lang_salts(langs)) * _MIX
+    k ^= k >> np.uint64(29)
+    return (k & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+
 
 class BlockKeyExploder:
     """map_batches callable: fingerprinted+sketched rows → exploded block rows.
@@ -37,15 +105,13 @@ class BlockKeyExploder:
     group than strings at 10^12-row scale. Key families are kept disjoint by
     mixing a family constant into the hash (exact family vs each LSH band)."""
 
-    _EXACT_FAMILY = np.uint64(0xE0E0E0E0E0E0E0E0)
-
     def __init__(self, cfg: LinkageConfig, carriers_ref=None):
         self.cfg = cfg
         self.hasher = MinHasher(cfg)
         # per-band mixing constants so band b and band b' never collide
         rng = np.random.default_rng(cfg.seed + 1)
         self.band_salt = rng.integers(1, 2**63, size=cfg.bands, dtype=np.uint64) | np.uint64(1)
-        # optional globally-elected band carriers: {sha_key -> carrier row_id}
+        # optional globally-elected band carriers: {carrier_key -> row_id}
         # for duplicated contents; shipped once per process via ray.put
         self.carriers = None
         if carriers_ref is not None:
@@ -53,26 +119,30 @@ class BlockKeyExploder:
             self.carriers = _ray.get(carriers_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
         cfg = self.cfg
         n = batch.num_rows
         sigs = sigs_to_numpy(batch["sig"], cfg.num_perm)           # (n, P)
-        band_h = np.empty((n, cfg.bands), dtype=np.uint64)
-        for i in range(n):
-            band_h[i] = self.hasher.band_hashes(sigs[i])
+        # all rows' band hashes in ONE tensor contraction (≡ per-row
+        # MinHasher.band_hashes: uint32 sig reshaped to (bands, r), dotted
+        # with the FNV power vector in uint64 wraparound arithmetic)
+        band_h = (sigs.reshape(n, cfg.bands, cfg.rows_per_band).astype(np.uint64)
+                  * self.hasher.band_pows[None, None, :]
+                  ).sum(axis=2, dtype=np.uint64)
         band_h = band_h * self.band_salt[None, :]                  # family-separate
         band_h ^= band_h >> np.uint64(32)
 
-        langs = batch["lang"].to_pylist()
-        shas = batch["content_sha256"].to_pylist()
-        p = cfg.sha_prefix_len
+        # sha bytes + exact keys straight from the Arrow buffers
+        nibs = _sha_nibbles(batch["content_sha256"])
+        sha16_np = _sha16_bytes(nibs)
+        sha8 = _sha8_u64(sha16_np)
+        lang_salt = _lang_salts(batch["lang"])
 
-        exact = np.empty(n, dtype=np.uint64)
-        for i in range(n):
-            d = hashlib.blake2b(f"{langs[i]}:{shas[i][:p]}".encode(),
-                                digest_size=8).digest()
-            exact[i] = np.uint64(int.from_bytes(d, "big")) ^ self._EXACT_FAMILY
+        # exact key = hash of (lang, sha prefix of cfg.sha_prefix_len nibbles)
+        n_hex = min(cfg.sha_prefix_len, 16)
+        prefix = sha8 >> np.uint64(64 - 4 * n_hex)
+        exact = (prefix ^ lang_salt) * _MIX
+        exact ^= exact >> np.uint64(33)
+        exact ^= _EXACT_FAMILY
 
         # NOTE on duplicate suppression: a BATCH-local first-occurrence
         # election was tried and reverted — block membership depended on
@@ -84,12 +154,14 @@ class BlockKeyExploder:
         # under any batching.
         if self.carriers:
             row_ids = np.asarray(batch["row_id"], dtype=np.int64)
-            sha_keys = _sha_keys_from_hex(shas)
-            is_carrier = np.ones(n, dtype=bool)
-            for i in range(n):
-                c = self.carriers.get(int(sha_keys[i]))
-                if c is not None and c != int(row_ids[i]):
-                    is_carrier[i] = False
+            ckeys = (((sha8 ^ lang_salt) * _MIX) ^
+                     (((sha8 ^ lang_salt) * _MIX) >> np.uint64(29)))
+            ckeys = (ckeys & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+            carriers = self.carriers
+            is_carrier = np.fromiter(
+                (carriers.get(int(k), r) == r
+                 for k, r in zip(ckeys, row_ids)),
+                dtype=bool, count=n)
             rep_idx = np.flatnonzero(is_carrier)
             dup_idx = np.flatnonzero(~is_carrier)
             keys_parts = [np.concatenate(
@@ -109,8 +181,7 @@ class BlockKeyExploder:
         # instead of the 64-char hex string; lang is already inside the
         # exact-key hash, so it is not shipped at all.
         sha16 = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(16), n,
-            [None, pa.py_buffer(b"".join(bytes.fromhex(s[:32]) for s in shas))])
+            pa.binary(16), n, [None, pa.py_buffer(sha16_np.tobytes())])
         slim = pa.table({
             "row_id": batch["row_id"],
             "sig": batch["sig"],
@@ -122,46 +193,39 @@ class BlockKeyExploder:
             0, "block_key", pa.array(keys.view(np.int64), pa.int64()))
 
 
-def _sha_keys_from_hex(shas: list[str]) -> np.ndarray:
-    """int64 keys from the first 16 hex chars of each content sha."""
-    return np.array([int(s[:16], 16) & 0x7FFFFFFFFFFFFFFF for s in shas],
-                    dtype=np.int64)
-
-
 def elect_band_carriers(records: ray.data.Dataset, cfg: LinkageConfig,
                         *, num_buckets: int = 32):
     """Global band-carrier election for duplicated contents.
 
-    One slim shuffle over (sha_key, row_id): every sha group with ≥2 members
-    elects its min row_id as the sole LSH-band carrier. Returns a
-    ``ray.put`` handle to {sha_key: carrier_row_id} (None when the map would
-    exceed cfg.max_carrier_broadcast — suppression is then skipped rather
-    than risking driver memory)."""
+    One slim shuffle over (carrier_key, row_id): every (lang, sha) group with
+    ≥2 members elects its min row_id as the sole LSH-band carrier. Returns a
+    ``ray.put`` handle to {carrier_key: carrier_row_id} (None when the map
+    would exceed cfg.max_carrier_broadcast — suppression is then skipped
+    rather than risking driver memory)."""
     import pandas as pd
-    import pyarrow as pa
     import ray as _ray
 
     from spel_ray.state.shuffle import bucketed_groupby
 
     def slim(batch: pa.Table) -> pa.Table:
-        keys = _sha_keys_from_hex(batch["content_sha256"].to_pylist())
-        return pa.table({"sha_key": pa.array(keys, pa.int64()),
+        keys = carrier_keys(batch["lang"], batch["content_sha256"])
+        return pa.table({"carrier_key": pa.array(keys, pa.int64()),
                          "row_id": batch["row_id"]})
 
     def elect(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("sha_key", sort=False)["row_id"].agg(["min", "size"])
+        g = df.groupby("carrier_key", sort=False)["row_id"].agg(["min", "size"])
         g = g[g["size"] >= 2]
-        return pd.DataFrame({"sha_key": g.index.to_numpy(),
+        return pd.DataFrame({"carrier_key": g.index.to_numpy(),
                              "carrier": g["min"].to_numpy()})
 
     carriers_ds = bucketed_groupby(
         records.map_batches(slim, batch_format="pyarrow"),
-        "sha_key", elect, num_buckets=num_buckets)
+        "carrier_key", elect, num_buckets=num_buckets)
     n = carriers_ds.count()
     if n == 0 or n > cfg.max_carrier_broadcast:
         return None
     df = carriers_ds.to_pandas()
-    return _ray.put(dict(zip(df["sha_key"].astype("int64"),
+    return _ray.put(dict(zip(df["carrier_key"].astype("int64"),
                              df["carrier"].astype("int64"))))
 
 
@@ -173,7 +237,12 @@ _STATE_CACHE: dict[tuple, object] = {}
 
 
 def _cached(kind: str, cfg: LinkageConfig, carriers_ref=None):
-    key = (kind, cfg.fingerprint(), carriers_ref is not None)
+    # The carrier REF identity is part of the key (ADVICE r1): Ray reuses
+    # worker processes across executions, so keying on "a ref exists" alone
+    # would silently reuse the previous run's carrier map for a second run
+    # with the same config but different data.
+    ref_id = carriers_ref.hex() if carriers_ref is not None else None
+    key = (kind, cfg.fingerprint(), ref_id)
     obj = _STATE_CACHE.get(key)
     if obj is None:
         if kind == "minhash":

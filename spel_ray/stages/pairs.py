@@ -79,7 +79,6 @@ def _gen_and_score_bucket(t, cfg: LinkageConfig):
     keys = keys_all[sel]
     ids = ids_all[sel]
 
-    sig_col = t["sig"] if "sig" in t.column_names else None
     sigs = _fixed_binary_view(t["sig"], cfg.num_perm, np.uint32)[sel]
     sigs_t = _fixed_binary_view(t["sig_tok"], cfg.num_perm_tok, np.uint32)[sel]
     # sha16 as two uint64 words for vectorized equality

@@ -46,6 +46,32 @@ def test_simhash_hamming_properties():
     assert simhash64("x") == simhash64("x")
 
 
+def test_batch_simhash_matches_reference_impl():
+    from spel_ray.functions.dedup import batch_simhash64
+    texts = ["the quick brown fox", "the quick brown fox",
+             "databases love vectorized execution", "", None,
+             "Mixed CASE Words repeated repeated repeated"]
+    got = batch_simhash64(texts)
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_simhash_hot_segment_chain_capped():
+    """A 3000-row identical-content segment must NOT be silently dropped:
+    the chain-cap keeps the bucket connected and flags it capped."""
+    n = 3000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(n)),
+        "text": ["identical boilerplate text for every row"] * n,
+    }))
+    out = simhash_candidates(add_simhash(ds), num_buckets=4,
+                             max_hamming=3).to_pandas()
+    assert out["capped"].all()
+    # chain over sorted ids connects the whole segment
+    got = set(zip(out["id_lo"], out["id_hi"]))
+    assert got == {(i, i + 1) for i in range(n - 1)}
+
+
 def test_simhash_candidates():
     out = simhash_candidates(add_simhash(_docs()), num_buckets=4,
                              max_hamming=3).to_pandas()
