@@ -31,6 +31,10 @@ class LinkageConfig:
     num_perm_tok: int = 24          # word-token MinHash (cheap in-block verifier)
     seed: int = 42
 
+    strip_comments: bool = True     # strip per-lang line/block comments from
+    # the shingling view (norm_content) — comment churn is the most common
+    # benign near-dup mutation; sha256 stays over raw content
+
     # --- exact blocking ---
     sha_prefix_len: int = 16        # (lang, sha256[:p]) exact key, catches identical content
     suppress_dup_bands: bool = False  # opt-in: globally elect ONE band-carrier

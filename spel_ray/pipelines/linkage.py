@@ -63,7 +63,8 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
             return fn()
         return ckpt.run_stage(name, fn)
 
-    records = stage("fingerprint", lambda: fingerprint(ds, batch_size=cfg.batch_size))
+    records = stage("fingerprint", lambda: fingerprint(
+        ds, batch_size=cfg.batch_size, strip_comments=cfg.strip_comments))
     if ckpt is None and cfg.use_verifier and cfg.pin_records:
         # the verifier's content join probes records twice — pin once instead
         # of re-reading + re-hashing per consumer. Without the verifier the

@@ -86,11 +86,17 @@ def _make_ancestor(rng: np.random.Generator, lang: str) -> str:
     return "\n".join(lines)[:4000]
 
 
-def _mutate(rng: np.random.Generator, content: str, n_edits: int) -> str:
+_LINE_C = {"python": "#", "java": "//", "js": "//", "go": "//", "rust": "//"}
+
+
+def _mutate(rng: np.random.Generator, content: str, n_edits: int,
+            lang: str = "python") -> str:
     """Apply ``n_edits`` small edits — rename identifier, reorder imports,
-    whitespace churn, comment churn, delete a line."""
+    whitespace churn, comment churn (lang-correct syntax), delete a line,
+    comment-heavy burst (several comment lines / a block comment)."""
+    cm = _LINE_C.get(lang, "#")
     for _ in range(n_edits):
-        kind = int(rng.integers(5))
+        kind = int(rng.integers(6))
         lines = content.split("\n")
         if kind == 0:  # rename one identifier globally
             old, new = _ident(rng), _ident(rng)
@@ -111,9 +117,22 @@ def _mutate(rng: np.random.Generator, content: str, n_edits: int) -> str:
             lines[i] = lines[i] + "  " if rng.random() < 0.5 else "  " + lines[i]
         elif kind == 3:  # comment churn
             i = int(rng.integers(len(lines) + 1))
-            lines.insert(i, f"# note {int(rng.integers(1000))}")
+            lines.insert(i, f"{cm} note {int(rng.integers(1000))}")
         elif kind == 4 and len(lines) > 4:  # delete a line
             del lines[int(rng.integers(len(lines)))]
+        elif kind == 5:  # comment-heavy burst (the mutation class comment
+            # stripping exists for: without it these drown the shingle set)
+            i = int(rng.integers(len(lines) + 1))
+            k = int(rng.integers(3, 9))
+            if lang in ("java", "js", "go", "rust") and rng.random() < 0.5:
+                block = (["/*"]
+                         + [f" * {_ident(rng)} {int(rng.integers(1000))}"
+                            for _ in range(k)]
+                         + [" */"])
+            else:
+                block = [f"{cm} {_ident(rng)} {int(rng.integers(1000))}"
+                         for _ in range(k)]
+            lines[i:i] = block
         content = "\n".join(lines)
     return content
 
@@ -145,7 +164,7 @@ def generate_code_table(n_rows: int, seed: int = 42) -> pa.Table:
         a = int(member_anc[i])
         lang = _LANGS[anc_lang_idx[a]]
         n_edits = int(rng.integers(0, 6))
-        content = _mutate(rng, ancestors[a], n_edits)
+        content = _mutate(rng, ancestors[a], n_edits, lang=lang)
         repos.append(f"org{i % 37}/proj{i % 101}")
         d = _NOUNS[int(rng.integers(len(_NOUNS)))]
         paths.append(f"src/{d}/{_ident(rng)}.{_EXT[lang]}")
@@ -183,7 +202,7 @@ def synth_parquet_path(n_rows: int, seed: int = 42,
     concurrent processes (the two `--scaling` runs) can share the cache.
     """
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_v2.parquet")
+    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_v3.parquet")
     if not os.path.exists(out):
         t = generate_code_table(n_rows, seed)
         tmp = out + f".tmp.{os.getpid()}"

@@ -30,8 +30,75 @@ def _norm_ws(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Arrow in / Arrow out: adds row_id, content_sha256, norm_content, n_chars."""
+# Per-lang comment syntax for the normalizer (the engine analog of the
+# reference's ~40-entry substitution-table normalizer, reference
+# ``utils.py:254-277``): comment churn is the single most common benign
+# mutation between near-duplicate source files, so the shingling view strips
+# comments BEFORE whitespace collapse. Regex-level stripping deliberately
+# ignores string-literal corner cases — both members of a near-dup pair get
+# the identical treatment, which is all a blocking/scoring view needs.
+_LINE_COMMENT = {
+    "python": r"#[^\n]*", "py": r"#[^\n]*", "ruby": r"#[^\n]*",
+    "rb": r"#[^\n]*", "sh": r"#[^\n]*", "bash": r"#[^\n]*",
+    "yaml": r"#[^\n]*",
+    "java": r"//[^\n]*", "js": r"//[^\n]*", "ts": r"//[^\n]*",
+    "go": r"//[^\n]*", "rust": r"//[^\n]*", "rs": r"//[^\n]*",
+    "c": r"//[^\n]*", "cpp": r"//[^\n]*", "cs": r"//[^\n]*",
+    "sql": r"--[^\n]*",
+}
+_BLOCK_COMMENT_LANGS = {"java", "js", "ts", "go", "rust", "rs", "c", "cpp", "cs"}
+_BLOCK_COMMENT = r"(?s)/\*.*?\*/"
+
+
+def strip_code_comments(content: pa.ChunkedArray | pa.Array,
+                        langs: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Remove line/block comments from ``content`` per-row according to
+    ``langs`` — vectorized: rows are grouped by DISTINCT lang (dictionary
+    encode), each group gets its regex chain as whole-array Arrow kernels,
+    and the groups are stitched back with one take. Unknown langs pass
+    through untouched."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    n = len(content)
+    if n == 0:
+        return content
+    d = langs.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    if not any((u or "") in _LINE_COMMENT for u in uniq):
+        return content
+    codes = np.asarray(d.indices, dtype=np.int64)
+    parts: list[pa.Array] = []
+    order: list[np.ndarray] = []
+    for code, lang in enumerate(uniq):
+        idx = np.flatnonzero(codes == code)
+        if len(idx) == 0:
+            continue
+        sub = content.take(pa.array(idx))
+        lang = lang or ""
+        if lang in _BLOCK_COMMENT_LANGS:
+            sub = pc.replace_substring_regex(
+                sub, pattern=_BLOCK_COMMENT, replacement=" ")
+        pat = _LINE_COMMENT.get(lang)
+        if pat is not None:
+            sub = pc.replace_substring_regex(sub, pattern=pat, replacement=" ")
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
+        parts.append(sub)
+        order.append(idx)
+    cat = pa.concat_arrays(parts)
+    inv = np.empty(n, dtype=np.int64)
+    inv[np.concatenate(order)] = np.arange(n, dtype=np.int64)
+    return cat.take(pa.array(inv))
+
+
+def fingerprint_batch(batch: pa.Table, *, strip_comments: bool = True) -> pa.Table:
+    """Arrow in / Arrow out: adds row_id, content_sha256, norm_content, n_chars.
+
+    ``norm_content`` (the shingling view) is comment-stripped per lang when
+    ``strip_comments`` — sha256 and n_chars stay over the RAW content (the
+    per-row invariant is untouched)."""
     repo = batch["repo"].to_pylist()
     path = batch["path"].to_pylist()
     commit = batch["commit"].to_pylist()
@@ -44,14 +111,19 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         row_ids[i] = int.from_bytes(hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
         shas.append(hashlib.sha256((body or "").encode()).hexdigest())
 
+    view = batch["content"]
+    if strip_comments and "lang" in batch.column_names:
+        view = strip_code_comments(view, batch["lang"])
     out = batch.append_column("row_id", pa.array(row_ids, pa.int64()))
     out = out.append_column("content_sha256", pa.array(shas, pa.string()))
-    out = out.append_column("norm_content", _norm_ws(batch["content"]))
+    out = out.append_column("norm_content", _norm_ws(view))
     out = out.append_column("n_chars", pc.cast(pc.utf8_length(batch["content"]), pa.int64()))
     return out
 
 
-def fingerprint(ds: ray.data.Dataset, *, batch_size: int = 2048) -> ray.data.Dataset:
+def fingerprint(ds: ray.data.Dataset, *, batch_size: int = 2048,
+                strip_comments: bool = True) -> ray.data.Dataset:
     """Stateless map_batches — pure, zero-copy Arrow."""
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
-                          batch_size=batch_size, zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, strip_comments=strip_comments),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

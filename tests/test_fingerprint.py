@@ -1,0 +1,56 @@
+"""Normalizer + fingerprint stage (M4 analog: comment/whitespace-aware
+shingling view with the sha256 raw-content invariant)."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.stages.fingerprint import (
+    fingerprint, fingerprint_batch, strip_code_comments)
+
+
+def test_strip_code_comments_per_lang():
+    content = pa.array([
+        "x = 1  # trailing\n# full line\ny = 2",
+        "int a = 1; // c-style\n/* block\n comment */\nint b = 2;",
+        "SELECT 1 -- sql comment\nFROM t",
+        "# not a comment in unknown lang",
+    ])
+    langs = pa.array(["python", "java", "sql", "weird"])
+    out = strip_code_comments(content, langs).to_pylist()
+    assert "#" not in out[0] and "x = 1" in out[0] and "y = 2" in out[0]
+    assert "//" not in out[1] and "block" not in out[1] and "int b = 2;" in out[1]
+    assert "--" not in out[2] and "FROM t" in out[2]
+    assert out[3] == "# not a comment in unknown lang"   # untouched
+
+
+def test_comment_churn_does_not_change_norm_content():
+    """Two files differing only in comments must share norm_content (the
+    reason the normalizer exists) while keeping distinct sha256."""
+    rows = pa.table({
+        "repo": ["r", "r"], "path": ["a.py", "b.py"], "commit": ["c1", "c2"],
+        "lang": ["python", "python"],
+        "content": ["def f(x):\n    return x + 1\n",
+                    "# added note\ndef f(x):  # inline\n    return x + 1\n"],
+    })
+    out = fingerprint_batch(rows, strip_comments=True)
+    ncs = out["norm_content"].to_pylist()
+    assert ncs[0] == ncs[1]
+    shas = out["content_sha256"].to_pylist()
+    assert shas[0] != shas[1]
+    # invariant: sha256 is over the RAW content
+    assert shas[1] == hashlib.sha256(rows["content"][1].as_py().encode()).hexdigest()
+
+
+def test_fingerprint_stage_respects_flag():
+    rows = pa.table({
+        "repo": ["r"], "path": ["a.py"], "commit": ["c"],
+        "lang": ["python"], "content": ["x = 1  # comment"],
+    })
+    on = fingerprint(rd.from_arrow(rows), strip_comments=True).to_pandas()
+    off = fingerprint(rd.from_arrow(rows), strip_comments=False).to_pandas()
+    assert "comment" not in on["norm_content"][0]
+    assert "comment" in off["norm_content"][0]
+    assert on["content_sha256"][0] == off["content_sha256"][0]
+    assert on["n_chars"][0] == off["n_chars"][0]
