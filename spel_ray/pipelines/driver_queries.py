@@ -257,18 +257,29 @@ def q_candidate_resolution(sf_dir: str) -> pd.DataFrame:
 # -------------------------------------------------------------------- events
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """Session count per user (30-min inactivity gap) — ordered per-key
-    window logic in map_groups (§2.9 streaming semantics; ordering comes
-    from an explicit sort inside the group, never block order)."""
+    window logic (§2.9 streaming semantics; ordering comes from an explicit
+    sort inside the bucket, never block order). Bucketed, not per-key
+    map_groups: one vectorized pandas pass handles ALL users in a bucket
+    (VERDICT r1 'what's wrong' #4 — per-user map_groups paid one Python
+    call per user)."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df.sort_values("ts")["ts"]
-        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
-        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
-                             "n_sessions": [int((gaps > 1800).sum())]})
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64")})
+        df = df.sort_values(["user_id", "ts"])
+        gaps = df.groupby("user_id", sort=False)["ts"].diff() \
+                 .dt.total_seconds()
+        new_sess = gaps.isna() | (gaps > 1800)
+        out = new_sess.groupby(df["user_id"], sort=False).sum()
+        return pd.DataFrame({"user_id": out.index.to_numpy(np.int64),
+                             "n_sessions": out.to_numpy(np.int64)})
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = bucketed_groupby(ds, "user_id", sessions, num_buckets=16)
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 

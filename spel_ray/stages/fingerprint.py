@@ -118,7 +118,9 @@ def fingerprint_batch(batch: pa.Table, *, strip_comments: bool = True) -> pa.Tab
     out = out.append_column("content_sha256", pa.array(shas, pa.string()))
     out = out.append_column("norm_content", _norm_ws(view))
     out = out.append_column("n_chars", pc.cast(pc.utf8_length(batch["content"]), pa.int64()))
-    return out
+    # parquet-inherited pandas metadata makes the schema unhashable for
+    # Ray's schema dedup (benign but log-spamming) — drop it
+    return out.replace_schema_metadata(None)
 
 
 def fingerprint(ds: ray.data.Dataset, *, batch_size: int = 2048,

@@ -44,6 +44,36 @@ def test_token_counts_match_python_split():
         assert out.loc[i, "n_tokens_ws"] == len(t.loc[i, "text"].split())
 
 
+def test_vectorized_analyzer_matches_rowwise_reference():
+    """The vectorized TextAnalyzer must match a straightforward per-row
+    computation of the same metrics (the pre-vectorization semantics)."""
+    import re
+
+    import numpy as np
+
+    from spel_ray.functions.text import _BPE_RE, _STOPWORDS, _WORD_RE
+
+    texts = ["the quick brown fox and the lazy dog for a walk in the park",
+             "el perro y el gato en la casa de los abuelos por la tarde",
+             "", "!!! ??? ###", "der Hund und die Katze ist von den",
+             "这是一个中文句子，用来测试语言识别功能。",
+             "le chat est sur la table et le chien dort",
+             "under_scored tokens that's it… naïve café 42 C3PO"]
+    out = (analyze_documents(rd.from_arrow(pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts})))
+        .to_pandas().set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        assert out.loc[i, "pred_lang"] == detect_lang(t), t
+        assert out.loc[i, "n_tokens_ws"] == len(t.split())
+        assert out.loc[i, "n_tokens_bpe"] == len(_BPE_RE.findall(t))
+        words = [w.lower() for w in _WORD_RE.findall(t)]
+        en = _STOPWORDS["en"]
+        want_stop = sum(w in en for w in words) / len(words) if words else 0.0
+        assert abs(out.loc[i, "stop_ratio"] - want_stop) < 1e-12, t
+        want_mwl = float(np.mean([len(w) for w in words])) if words else 0.0
+        assert abs(out.loc[i, "mean_word_len"] - want_mwl) < 1e-12, t
+
+
 def test_fingerprint_deterministic():
     a = rolling_fingerprint("some document body with enough length to window")
     b = rolling_fingerprint("some document body with enough length to window")
