@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
+        "align_segmentations": dq.q_align_segmentations,     # rows-only
         # embeddings
         "ann_topk": dq.q_ann_topk,
         "ann_topk_lsh": dq.q_ann_topk_lsh,           # rows-only (approximate)

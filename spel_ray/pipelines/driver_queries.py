@@ -438,6 +438,47 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def q_align_segmentations(sf_dir: str) -> pd.DataFrame:
+    """rows-only: fuzzy ordered alignment (J6) of two deliberately different
+    segmentations of each document — gold on 10-word windows, pred on 7-word
+    windows — exercising the split/merge repair in BOTH directions (the
+    streams resync every lcm(10,7)=70 words). Labels are the first word of
+    each span, so ``correct`` marks units whose boundaries actually agree."""
+    from spel_ray.stages.align import align_gold_pred
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def spans_table(ids, all_spans):
+        doc, idx, txt, lab = [], [], [], []
+        for i, spans in zip(ids, all_spans):
+            for j, s in enumerate(spans):
+                doc.append(i)
+                idx.append(j)
+                txt.append(s)
+                lab.append(s.split()[0] if s.split() else "")
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "span_idx": pa.array(idx, pa.int64()),
+                         "text": pa.array(txt, pa.string()),
+                         "label": pa.array(lab, pa.string())})
+
+    def seg_windows(width: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            spans = []
+            for t in batch["text"].to_pylist():
+                toks = (t or "").split()
+                spans.append([" ".join(toks[k:k + width])
+                              for k in range(0, len(toks), width)])
+            return spans_table(ids, spans)
+        return f
+
+    gold = ds.map_batches(seg_windows(10), batch_format="pyarrow")
+    pred = ds.map_batches(seg_windows(7), batch_format="pyarrow")
+    out = align_gold_pred(gold, pred, num_buckets=8).to_pandas()
+    return out.sort_values(["doc_id", "gold_idx", "pred_idx"]) \
+              .reset_index(drop=True)
+
+
 def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
     """Top-3 lineitems per returnflag by extendedprice (deterministic
     tiebreak) — per-group sort inside map_groups."""

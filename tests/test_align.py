@@ -1,0 +1,89 @@
+"""Fuzzy ordered alignment (J6): split/merge repair over misaligned span
+streams (reference ``utils.py:425-545`` semantics, recast for the engine)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.stages.align import (
+    align_gold_pred, align_spans, alignment_report)
+
+
+def test_exact_match():
+    out = align_spans([("New York", "LOC"), ("said", "O")],
+                      [("New York", "LOC"), ("said", "O")])
+    assert [r["status"] for r in out] == ["match", "match"]
+    assert all(r["correct"] for r in out)
+
+
+def test_whitespace_insensitive_match():
+    out = align_spans([("New  York", "LOC")], [("New York", "LOC")])
+    assert out[0]["status"] == "match" and out[0]["correct"]
+
+
+def test_split_pred_repair():
+    """One predicted span covers two gold spans → split_pred then repaired."""
+    out = align_spans([("New", "B"), ("York City", "I")],
+                      [("New York City", "LOC")])
+    assert [r["status"] for r in out] == ["split_pred", "repaired"]
+    assert [(r["gold_idx"], r["pred_idx"]) for r in out] == [(0, 0), (1, 0)]
+
+
+def test_split_gold_and_merge_repair():
+    """One gold span covers two predicted spans (the reference's
+    merge-next-prediction repair): both preds align against the one gold."""
+    out = align_spans([("New York City", "LOC")],
+                      [("New", "LOC"), ("York City", "LOC")])
+    assert [r["status"] for r in out] == ["split_gold", "repaired"]
+    assert [(r["gold_idx"], r["pred_idx"]) for r in out] == [(0, 0), (0, 1)]
+    assert all(r["correct"] for r in out)
+
+
+def test_label_mismatch_not_correct():
+    out = align_spans([("Paris", "LOC")], [("Paris", "PER")])
+    assert out[0]["status"] == "match" and not out[0]["correct"]
+
+
+def test_drift_resync():
+    """Mojibake-style drift: common prefix emitted as drift, streams
+    resynchronize and later spans still match."""
+    out = align_spans([("café au lait", "A"), ("bon", "B")],
+                      [("cafe au lait", "A"), ("bon", "B")])
+    assert out[0]["status"] == "drift" and not out[0]["correct"]
+    assert out[-1]["status"] == "match" and out[-1]["correct"]
+
+
+def test_one_sided_tails():
+    out = align_spans([("a", "X"), ("b", "Y")], [("a", "X")])
+    assert out[-1]["status"] == "gold_only"
+    out = align_spans([("a", "X")], [("a", "X"), ("b", "Y")])
+    assert out[-1]["status"] == "pred_only"
+
+
+def test_total_progress_on_garbage():
+    """Completely unrelated streams must terminate (drift consumes both)."""
+    out = align_spans([("xxxx", "A")] * 3, [("yyy", "B")] * 5)
+    assert out  # did not hang / raise
+    assert all(r["status"] in ("drift", "gold_only", "pred_only") for r in out)
+
+
+def test_distributed_alignment_and_report():
+    gold = rd.from_arrow(pa.table({
+        "doc_id": [1, 1, 2], "span_idx": [0, 1, 0],
+        "text": ["New York City", "is big", "hello world"],
+        "label": ["LOC", "O", "O"],
+    }))
+    pred = rd.from_arrow(pa.table({
+        "doc_id": [1, 1, 1, 2], "span_idx": [0, 1, 2, 0],
+        "text": ["New", "York City", "is big", "hello world"],
+        "label": ["LOC", "LOC", "O", "O"],
+    }))
+    out = align_gold_pred(gold, pred, num_buckets=2).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values(["gold_idx", "pred_idx"])
+    assert list(d1["status"]) == ["split_gold", "repaired", "match"]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["status"]) == ["match"]
+    rep = alignment_report(align_gold_pred(gold, pred, num_buckets=2))
+    assert rep["aligned_units"] == 4
+    assert rep["accuracy"] == 1.0
+    assert rep["counts"]["match"] == 2
