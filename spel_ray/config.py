@@ -63,6 +63,10 @@ class LinkageConfig:
     # content join) — opt-in precision pass; the default pipeline verifies
     # with the colocated token MinHash instead (no extra shuffle)
 
+    # --- extension surface (§2.10): registry names, see spel_ray/extension ---
+    scorer: str = "sketch-blend"    # PairScorer registry entry
+    blocker: str = "lsh-minhash"    # Blocker registry entry
+
     # --- clustering ---
     max_cc_rounds: int = 50         # safety bound on fixpoint rounds
     cc_driver_threshold: int = 5_000_000   # edge sets below this run driver-side

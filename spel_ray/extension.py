@@ -1,0 +1,132 @@
+"""User-extension surface (§2.10) — Scorer / Blocker protocols + registries.
+
+The engine analog of the reference's plugin API: a subclassable annotator
+(reference ``model.py:424-439``) selected from a registry by name
+(reference ``server.py:57-66``). Here the two pluggable stages are:
+
+- **PairScorer** — scores colocated candidate pairs from their sketch
+  features inside the pair-gen bucket task (≙ the reference's overridable
+  ``get_model_logits_inference`` scoring hook);
+- **Blocker** — maps a fingerprinted record batch to exploded
+  ``(block_key, row features)`` rows (≙ the candidate-set construction).
+
+A custom implementation registers under a name and is selected purely via
+``LinkageConfig(scorer=..., blocker=...)`` — no stage edits. Because the
+config string participates in ``cfg.fingerprint()``, checkpoints key
+correctly on the plugin choice. Registry lookups happen DRIVER-side when
+the pipeline is built; the resolved instance is cloudpickled into the task
+closures, so worker processes never need the registration import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+import pyarrow as pa
+
+from spel_ray.config import LinkageConfig
+
+
+@runtime_checkable
+class PairScorer(Protocol):
+    """Scores aligned candidate-pair feature arrays.
+
+    All inputs are (n, ·) numpy arrays colocated by pair generation; the
+    return is ``(char_jac_est, exact, score)`` — three (n,) arrays. The
+    implementation must be deterministic (pure function of the inputs)."""
+
+    def score_pairs(self, cfg: LinkageConfig, *,
+                    sig_lo: np.ndarray, sig_hi: np.ndarray,
+                    tok_lo: np.ndarray, tok_hi: np.ndarray,
+                    n_lo: np.ndarray, n_hi: np.ndarray,
+                    sha_eq: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ...
+
+
+@runtime_checkable
+class Blocker(Protocol):
+    """map_batches callable: fingerprinted records → exploded block rows.
+
+    Must emit the columns in ``spel_ray.stages.blocking.BLOCK_SCHEMA_COLS``
+    (block_key, row_id, sig, sig_tok, n_chars, sha16) so downstream pair
+    generation and scoring stay plugin-agnostic. Block membership must be a
+    pure per-row function (never depend on batch boundaries — determinism
+    across parallelism levels depends on it)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ...
+
+
+_SCORER_FACTORIES: dict[str, Callable[[], PairScorer]] = {}
+_BLOCKER_FACTORIES: dict[str, Callable[[LinkageConfig], Blocker]] = {}
+_SCORER_CACHE: dict[str, PairScorer] = {}
+
+
+def register_scorer(name: str):
+    """Decorator: register a PairScorer factory (class or zero-arg callable)."""
+    def deco(factory):
+        _SCORER_FACTORIES[name] = factory
+        return factory
+    return deco
+
+
+def register_blocker(name: str):
+    """Decorator: register a Blocker factory taking the LinkageConfig."""
+    def deco(factory):
+        _BLOCKER_FACTORIES[name] = factory
+        return factory
+    return deco
+
+
+def get_scorer(name: str) -> PairScorer:
+    s = _SCORER_CACHE.get(name)
+    if s is None:
+        try:
+            s = _SCORER_FACTORIES[name]()
+        except KeyError:
+            raise KeyError(
+                f"unknown scorer {name!r}; registered: "
+                f"{sorted(_SCORER_FACTORIES)}") from None
+        _SCORER_CACHE[name] = s
+    return s
+
+
+def get_blocker_factory(name: str) -> Callable[[LinkageConfig], Blocker]:
+    try:
+        return _BLOCKER_FACTORIES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown blocker {name!r}; registered: "
+            f"{sorted(_BLOCKER_FACTORIES)}") from None
+
+
+# --------------------------------------------------------------- defaults
+@register_scorer("sketch-blend")
+class SketchBlendScorer:
+    """Default: char/token MinHash blend softly gated by length ratio
+    (see stages/scoring.score_pair_arrays)."""
+
+    def score_pairs(self, cfg, *, sig_lo, sig_hi, tok_lo, tok_hi,
+                    n_lo, n_hi, sha_eq):
+        from spel_ray.stages.scoring import score_pair_arrays
+        return score_pair_arrays(cfg, sig_lo, sig_hi, tok_lo, tok_hi,
+                                 n_lo, n_hi, sha_eq)
+
+
+@register_blocker("lsh-minhash")
+def _default_blocker(cfg: LinkageConfig) -> Blocker:
+    """Default: MinHash sketch + LSH band / exact-key explode as ONE
+    callable (the in-pipeline fast path runs the same two stages unfused to
+    support carrier-based duplicate suppression)."""
+    from spel_ray.stages.blocking import BlockKeyExploder
+    from spel_ray.stages.minhash import MinHasher
+
+    hasher = MinHasher(cfg)
+    exploder = BlockKeyExploder(cfg)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return exploder(hasher(batch))
+    return run

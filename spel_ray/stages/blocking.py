@@ -258,7 +258,19 @@ def block_keys(ds: ray.data.Dataset, cfg: LinkageConfig,
     """fingerprinted ds → sketch (MinHash signature) → exploded block rows.
 
     ``carriers_ref``: optional handle from :func:`elect_band_carriers` —
-    enables deterministic duplicate band suppression."""
+    enables deterministic duplicate band suppression.
+
+    With a non-default ``cfg.blocker`` the registered Blocker runs as one
+    map_batches stage in place of the sketch+explode chain (carrier
+    suppression is a property of the default LSH blocker only). The
+    instance is built DRIVER-side — worker processes don't see user
+    registrations — and rides the task closure."""
+    if cfg.blocker != "lsh-minhash":
+        from spel_ray.extension import get_blocker_factory
+        blocker = get_blocker_factory(cfg.blocker)(cfg)
+        return ds.map_batches(
+            blocker, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True)
     sketched = ds.map_batches(
         lambda b, cfg=cfg: _cached("minhash", cfg)(b),
         batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)

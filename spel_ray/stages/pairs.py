@@ -29,7 +29,7 @@ import pandas as pd
 import ray.data
 
 from spel_ray.config import LinkageConfig
-from spel_ray.stages.scoring import score_pair_arrays
+from spel_ray.extension import get_scorer
 from spel_ray.state.shuffle import bucketed_groupby, pair_key
 
 PAIR_COLS = ["id_lo", "id_hi", "block_key", "jac", "exact", "score", "capped"]
@@ -48,7 +48,7 @@ def _fixed_binary_view(col, width_units: int, dtype) -> np.ndarray:
     return arr[off: off + n * width_units].reshape(n, width_units)
 
 
-def _gen_and_score_bucket(t, cfg: LinkageConfig):
+def _gen_and_score_bucket(t, cfg: LinkageConfig, scorer=None):
     """One bucket of block rows (Arrow table) → scored candidate pairs.
 
     Arrow-native on purpose: signature columns are read as numpy buffer
@@ -123,9 +123,16 @@ def _gen_and_score_bucket(t, cfg: LinkageConfig):
             return _empty_pairs()
 
     sha_eq = (sha2[lo] == sha2[hi]).all(axis=1)
-    jac, exact, score = score_pair_arrays(
-        cfg, sigs[lo], sigs[hi], sigs_t[lo], sigs_t[hi],
-        n_chars[lo], n_chars[hi], sha_eq)
+    # pluggable pair scorer (§2.10): resolved from the registry DRIVER-side
+    # in scored_candidate_pairs (worker processes don't see user
+    # registrations) and shipped in the task closure; the None fallback
+    # serves direct unit-test calls
+    if scorer is None:
+        scorer = get_scorer(cfg.scorer)
+    jac, exact, score = scorer.score_pairs(
+        cfg, sig_lo=sigs[lo], sig_hi=sigs[hi],
+        tok_lo=sigs_t[lo], tok_hi=sigs_t[hi],
+        n_lo=n_chars[lo], n_hi=n_chars[hi], sha_eq=sha_eq)
 
     return pa.table({
         "id_lo": pa.array(ids[lo], pa.int64()),
@@ -184,8 +191,9 @@ def scored_candidate_pairs(block_rows: ray.data.Dataset, cfg: LinkageConfig,
     pair hash for the duplicate merge."""
     import pyarrow as pa
 
+    scorer = get_scorer(cfg.scorer)      # resolve on the driver (§2.10)
     pairs = bucketed_groupby(block_rows, "block_key",
-                             lambda t: _gen_and_score_bucket(t, cfg),
+                             lambda t: _gen_and_score_bucket(t, cfg, scorer),
                              num_buckets=num_buckets, batch_format="pyarrow")
 
     def add_pk(batch: pa.Table) -> pa.Table:
