@@ -62,10 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": dq.q_langid,                       # rows-only
         "quality": dq.q_quality,                     # rows-only
         "doc_fingerprints": dq.q_doc_fingerprints,   # rows-only
+        "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
+        "ngram_distinct_counts": dq.q_ngram_distinct_counts,
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
         "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
         "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
+        "candidate_multigrain": dq.q_candidate_multigrain,   # rows-only
         "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
         "align_segmentations": dq.q_align_segmentations,     # rows-only
         # embeddings
@@ -227,6 +230,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents
             GROUP BY text
+            ORDER BY doc_id
+        """,
+        "doc_shingle_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN len(w) <= 8 THEN md5(array_to_string(w, ' '))
+                        ELSE list_min(list_transform(
+                            generate_series(1, len(w) - 7),
+                            i -> md5(array_to_string(w[i:i+7], ' '))))
+                   END AS fingerprint
+            FROM (SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN []
+                              ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END AS w
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "ngram_distinct_counts": """
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN 0
+                        ELSE len(list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' '))))
+                   END AS n_distinct_3grams
+            FROM (SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN []
+                              ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END AS w
+                  FROM documents)
             ORDER BY doc_id
         """,
         "token_counts": """

@@ -97,6 +97,51 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_shingle_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Winnowing-style document fingerprint that is ALSO SQL-expressible
+    (VERDICT r1 item 10 — fewer no_oracle holes): min md5 over the 8-word
+    shingles of the whitespace token stream. md5 is bit-identical between
+    hashlib and DuckDB, so the oracle reproduces it exactly."""
+    import hashlib as _hl
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split()
+            if len(toks) <= 8:
+                shingles = [" ".join(toks)]
+            else:
+                shingles = [" ".join(toks[i:i + 8])
+                            for i in range(len(toks) - 7)]
+            out.append(min(_hl.md5(s.encode()).hexdigest() for s in shingles))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas() \
+             .sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """Distinct word-3gram count per document (the n-gram-Jaccard dedup
+    family's set-size primitive), oracled in SQL via list kernels."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        counts = np.empty(batch.num_rows, dtype=np.int64)
+        for r, t in enumerate(batch["text"].to_pylist()):
+            toks = (t or "").split()
+            counts[r] = len({" ".join(toks[i:i + 3])
+                             for i in range(len(toks) - 2)}) \
+                if len(toks) >= 3 else 0
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_distinct_3grams": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas() \
+             .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """rows-only: near-dup clusters over documents via MinHash-LSH."""
     from spel_ray.functions.dedup import minhash_dedup
@@ -250,6 +295,35 @@ def q_candidate_resolution(sf_dir: str) -> pd.DataFrame:
     scored = score_against_candidates(records, cands, k=3, dim=512,
                                       min_score=0.55)
     out = resolve_candidates(scored).to_pandas()
+    out["confidence"] = out["confidence"].round(5)
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
+def q_candidate_multigrain(sf_dir: str) -> pd.DataFrame:
+    """rows-only: strict two-granularity candidate resolution (A1
+    intersection semantics — a candidate must survive the top-k of BOTH the
+    char-ngram and the word-token view; unanimity → that id, else best
+    mean; empty intersection → NO_MATCH)."""
+    import pyarrow.parquet as pq
+
+    from spel_ray.stages.candidates import resolve_multigrain
+
+    reps = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    reps = reps[reps["doc_id"] < 20]
+    cands = pd.DataFrame({"cand_id": reps["doc_id"] + 1,
+                          "repr_content": reps["text"],
+                          "lang": "txt"})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        return pa.table({"row_id": batch["doc_id"],
+                         "norm_content": batch["text"]})
+
+    records = ds.map_batches(adapt, batch_format="pyarrow")
+    out = resolve_multigrain(records, cands, k=3, dim=512,
+                             min_score=0.3).to_pandas()
     out["confidence"] = out["confidence"].round(5)
     return out.sort_values("row_id").reset_index(drop=True)
 

@@ -1,0 +1,159 @@
+"""Online serving surface — link ONE record against an indexed corpus.
+
+The reference's flagship entry point is one-document-at-a-time serving
+(reference ``server.py:118-143``, single-threaded under a lock): lazy-built
+model state, then per-request annotate. The engine analog:
+
+- :class:`LinkageIndex` — built once from a code-table Dataset: the corpus
+  is fingerprinted + sketched by the SAME pipeline stages as batch linkage
+  (so online results agree with batch results by construction), and the
+  exploded block rows become an in-memory probe index
+  ``{block_key → row positions}`` over columnar feature arrays.
+- :meth:`LinkageIndex.link` — sketches the single record through the same
+  stages, probes its block keys, scores the colocated candidates with the
+  configured PairScorer, returns ranked matches.
+- :func:`serving_actor` — the same index as a Ray actor for concurrent
+  serving (N replicas = N actors; the reference serializes requests under a
+  lock, ``server.py:45``).
+
+Scale note: one index holds the whole corpus's sketch features (~300 B/row
+→ ~3 GB per 10M rows). Past that, shard by ``block_key % n_shards`` into n
+actors and fan the probe out — the probe is embarrassingly parallel because
+every shard owns a disjoint key range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from spel_ray.config import LinkageConfig
+from spel_ray.extension import get_scorer
+from spel_ray.stages.blocking import BlockKeyExploder
+from spel_ray.stages.fingerprint import fingerprint, fingerprint_batch
+from spel_ray.stages.minhash import MinHasher, sigs_to_numpy
+
+
+def _features(t: pa.Table, cfg: LinkageConfig):
+    """Columnar feature arrays from exploded block rows."""
+    return {
+        "block_key": np.asarray(t["block_key"], dtype=np.int64),
+        "row_id": np.asarray(t["row_id"], dtype=np.int64),
+        "sig": sigs_to_numpy(t["sig"], cfg.num_perm).copy(),
+        "sig_tok": sigs_to_numpy(t["sig_tok"], cfg.num_perm_tok).copy(),
+        "n_chars": np.asarray(t["n_chars"], dtype=np.int64),
+        "sha16": np.frombuffer(
+            b"".join(t["sha16"].to_pylist()), dtype="S16"),
+    }
+
+
+class LinkageIndex:
+    """In-memory blocking index over a corpus for single-record linking."""
+
+    def __init__(self, cfg: LinkageConfig, block_rows: pa.Table):
+        self.cfg = cfg
+        f = _features(block_rows, cfg)
+        order = np.argsort(f["block_key"], kind="stable")
+        self._keys = f["block_key"][order]
+        self._row_id = f["row_id"][order]
+        self._sig = f["sig"][order]
+        self._sig_tok = f["sig_tok"][order]
+        self._n_chars = f["n_chars"][order]
+        self._sha16 = f["sha16"][order]
+        # block_key → (start, end) via one sorted pass
+        if len(self._keys):
+            change = np.flatnonzero(
+                np.r_[True, self._keys[1:] != self._keys[:-1]])
+            ends = np.r_[change[1:], len(self._keys)]
+            self._index = {int(k): (int(s), int(e))
+                           for k, s, e in zip(self._keys[change], change, ends)}
+        else:
+            self._index = {}
+        self._sketch = MinHasher(cfg)
+        self._explode = BlockKeyExploder(cfg)
+        self._scorer = get_scorer(cfg.scorer)
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def build(cls, records: ray.data.Dataset, cfg: LinkageConfig | None = None
+              ) -> "LinkageIndex":
+        """records = code table (repo, path, commit, lang, content). The
+        sketch runs distributed; only the slim block rows are collected."""
+        cfg = cfg or LinkageConfig()
+        from spel_ray.stages.blocking import block_keys
+
+        fp = fingerprint(records, batch_size=cfg.batch_size,
+                         strip_comments=cfg.strip_comments)
+        rows = block_keys(fp, cfg)
+        batches = list(rows.iter_batches(batch_format="pyarrow"))
+        if batches:
+            tbl = pa.concat_tables(batches)
+        else:                                   # empty corpus
+            tbl = pa.table({
+                "block_key": pa.array([], pa.int64()),
+                "row_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary(cfg.num_perm * 4)),
+                "sig_tok": pa.array([], pa.binary(cfg.num_perm_tok * 4)),
+                "n_chars": pa.array([], pa.int64()),
+                "sha16": pa.array([], pa.binary(16)),
+            })
+        return cls(cfg, tbl)
+
+    # ----------------------------------------------------------------- link
+    def link(self, content: str, lang: str = "txt", *, k: int = 5,
+             min_score: float | None = None) -> list[dict]:
+        """Link one record: returns up to ``k`` matches
+        ``{row_id, score, exact}`` with score ≥ min_score (defaults to the
+        config's edge threshold), ranked by (score desc, row_id)."""
+        cfg = self.cfg
+        thr = cfg.score_threshold if min_score is None else min_score
+        one = pa.table({
+            "repo": ["__query__"], "path": ["__query__"], "commit": ["0"],
+            "lang": [lang], "content": [content or ""],
+        })
+        rows = self._explode(self._sketch(fingerprint_batch(
+            one, strip_comments=cfg.strip_comments)))
+        f = _features(rows, cfg)
+
+        # probe: candidate positions = union over the query's block keys
+        pos_parts = [np.arange(*self._index[int(bk)])
+                     for bk in f["block_key"] if int(bk) in self._index]
+        if not pos_parts:
+            return []
+        pos = np.unique(np.concatenate(pos_parts))
+        # one row may sit under several keys — dedupe by row_id (keep first)
+        _, first = np.unique(self._row_id[pos], return_index=True)
+        pos = pos[np.sort(first)]
+
+        n = len(pos)
+        jac, exact, score = self._scorer.score_pairs(
+            cfg,
+            sig_lo=np.repeat(f["sig"][:1], n, axis=0),
+            sig_hi=self._sig[pos],
+            tok_lo=np.repeat(f["sig_tok"][:1], n, axis=0),
+            tok_hi=self._sig_tok[pos],
+            n_lo=np.repeat(f["n_chars"][:1], n),
+            n_hi=self._n_chars[pos],
+            sha_eq=(self._sha16[pos] == f["sha16"][0]))
+        keep = np.flatnonzero(score >= thr)
+        order = keep[np.lexsort((self._row_id[pos][keep], -score[keep]))][:k]
+        return [{"row_id": int(self._row_id[pos][i]),
+                 "score": round(float(score[i]), 6),
+                 "exact": bool(exact[i])}
+                for i in order]
+
+
+def serving_actor(num_cpus: float = 1.0):
+    """Ray actor class for concurrent serving: N replicas = N actors, each
+    holding the index once (≙ the reference's lazily-built server state)."""
+    @ray.remote(num_cpus=num_cpus)
+    class LinkageServer:
+        def __init__(self, cfg: LinkageConfig, block_rows: pa.Table):
+            self.index = LinkageIndex(cfg, block_rows)
+
+        def link(self, content: str, lang: str = "txt", k: int = 5):
+            return self.index.link(content, lang, k=k)
+
+    return LinkageServer

@@ -136,6 +136,113 @@ def score_against_candidates(records: ray.data.Dataset,
         concurrency=concurrency)
 
 
+def embed_token_bag(texts: list[str], dim: int = 1024,
+                    seed: int = 42) -> np.ndarray:
+    """(len(texts), dim) float32 L2-normalized hashed word-token bags — the
+    WORD granularity view (≙ the reference's word level above subwords,
+    ``span_annotation.py:66-121``)."""
+    import re
+    from zlib import crc32
+
+    token_re = re.compile(rb"[A-Za-z_][A-Za-z_0-9]*|\d+")
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        toks = token_re.findall((t or "").encode("utf-8", errors="ignore"))
+        if not toks:
+            continue
+        h = np.fromiter((crc32(tk) for tk in toks), dtype=np.uint64,
+                        count=len(toks))
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        np.add.at(out[i], (h % np.uint64(dim)).astype(np.int64), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norms, 1e-12)
+
+
+class MultiGrainScorer:
+    """Actor-pool stage: candidate resolution by INTERSECTION across two
+    granularities (char n-grams AND word tokens) — the strict A1 semantics
+    (reference ``span_annotation.py:77-121``): a candidate survives only if
+    it appears in the top-k of BOTH views; resolve is unanimous top-1 →
+    that id, else best mean score; empty intersection → NO_MATCH. Stricter
+    than any linear blend — a candidate strong in one view only is vetoed."""
+
+    def __init__(self, cand_ref, k: int = 5, dim: int = 1024, n: int = 4,
+                 min_score: float = 0.3):
+        ids, mat_char, mat_tok = ray.get(cand_ref)   # shipped once per actor
+        self.ids = ids
+        self.mat_char = mat_char
+        self.mat_tok = mat_tok
+        self.k = k
+        self.dim = dim
+        self.n = n
+        self.min_score = min_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["norm_content"].to_pylist()
+        s_c = embed_char_ngrams(texts, dim=self.dim, n=self.n) @ self.mat_char.T
+        s_t = embed_token_bag(texts, dim=self.dim) @ self.mat_tok.T
+        k = min(self.k, s_c.shape[1])
+        top_c = np.argpartition(-s_c, k - 1, axis=1)[:, :k]
+        top_t = np.argpartition(-s_t, k - 1, axis=1)[:, :k]
+        resolved = np.full(len(texts), NO_MATCH_ID, dtype=np.int64)
+        conf = np.ones(len(texts), dtype=np.float64)
+        n_agree = np.zeros(len(texts), dtype=np.int64)
+        for r in range(len(texts)):
+            cset = set(top_c[r].tolist()) & set(top_t[r].tolist())
+            cset.discard(0)                       # reserved no-match row
+            if not cset:
+                continue
+            cols = np.fromiter(cset, dtype=np.int64, count=len(cset))
+            mean_s = (s_c[r, cols] + s_t[r, cols]) / 2.0
+            n_agree[r] = len(cols)
+            best_c = top_c[r][np.argmax(s_c[r, top_c[r]])]
+            best_t = top_t[r][np.argmax(s_t[r, top_t[r]])]
+            if best_c == best_t and best_c in cset:      # unanimity
+                col, score = best_c, (s_c[r, best_c] + s_t[r, best_c]) / 2.0
+            else:                                        # best mean; ties →
+                order = np.lexsort((self.ids[cols], -mean_s))  # lower id
+                col, score = cols[order[0]], mean_s[order[0]]
+            if score >= self.min_score:
+                resolved[r] = self.ids[col]
+                conf[r] = round(float(score), 6)
+        return pa.table({
+            "row_id": batch["row_id"],
+            "resolved_cand": pa.array(resolved, pa.int64()),
+            "confidence": pa.array(conf, pa.float64()),
+            "n_surviving": pa.array(n_agree, pa.int64()),
+        })
+
+
+def build_candidate_matrices(cands: pd.DataFrame, dim: int = 1024,
+                             n: int = 4):
+    """(ids, char matrix, token matrix) with the reserved no-match row 0."""
+    cands = cands.sort_values("cand_id")
+    assert (cands["cand_id"] > 0).all(), "cand_id 0 is reserved for no-match"
+    texts = cands["repr_content"].tolist()
+    zero = np.zeros((1, dim), dtype=np.float32)
+    ids = np.concatenate([[NO_MATCH_ID], cands["cand_id"].to_numpy()])
+    mc = np.vstack([zero, embed_char_ngrams(texts, dim=dim, n=n)])
+    mt = np.vstack([zero, embed_token_bag(texts, dim=dim)])
+    return ids.astype(np.int64), mc, mt
+
+
+def resolve_multigrain(records: ray.data.Dataset, candidates: pd.DataFrame,
+                       *, k: int = 5, dim: int = 1024,
+                       min_score: float = 0.3,
+                       concurrency: tuple[int, int] = (1, 8),
+                       batch_size: int = 1024) -> ray.data.Dataset:
+    """records (with row_id, norm_content) → strict two-granularity
+    candidate resolution. Matrices broadcast once via ``ray.put``."""
+    cand_ref = ray.put(build_candidate_matrices(candidates, dim=dim))
+    return records.map_batches(
+        MultiGrainScorer,
+        fn_constructor_kwargs={"cand_ref": cand_ref, "k": k, "dim": dim,
+                               "min_score": min_score},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def resolve_candidates(scored: ray.data.Dataset,
                        *, num_buckets: int = 16) -> ray.data.Dataset:
     """Reduce top-k lists to one resolved candidate per record (argmax prob;

@@ -154,6 +154,8 @@ def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     buf = col.buffers()[1]
+    if buf is None or len(col) == 0:
+        return np.zeros((0, num_perm), dtype=np.uint32)
     arr = np.frombuffer(buf, dtype=np.uint32)
     # account for array offset into the buffer
     off = col.offset * num_perm

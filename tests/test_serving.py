@@ -1,0 +1,111 @@
+"""Online serving surface (S7 analog) + multi-granularity resolution (A1)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from spel_ray.config import LinkageConfig
+from spel_ray.serving import LinkageIndex, serving_actor
+
+
+def _corpus():
+    a = ("def load_records(path, schema):\n"
+         "    rows = parse(path)\n"
+         "    return [normalize(r, schema) for r in rows]\n")
+    b = ("function mergeTables(left, right) {\n"
+         "    return left.concat(right).sort();\n}\n")
+    c = "SELECT id, name FROM users WHERE active = 1 ORDER BY id"
+    return rd.from_arrow(pa.table({
+        "repo": ["r1", "r2", "r3"],
+        "path": ["a.py", "b.js", "c.sql"],
+        "commit": ["c1", "c2", "c3"],
+        "lang": ["python", "js", "sql"],
+        "content": [a, b, c],
+    }))
+
+
+def test_link_near_duplicate():
+    idx = LinkageIndex.build(_corpus(), LinkageConfig())
+    near = ("def load_records(path, schema):  # cached\n"
+            "    rows = parse(path)\n"
+            "    return [normalize(r, schema) for r in rows]\n")
+    hits = idx.link(near, lang="python")
+    assert hits, "near-duplicate must be found"
+    assert hits[0]["score"] >= 0.42
+    assert not hits[0]["exact"]
+
+
+def test_link_exact_duplicate_scores_one():
+    idx = LinkageIndex.build(_corpus(), LinkageConfig())
+    exact = "SELECT id, name FROM users WHERE active = 1 ORDER BY id"
+    hits = idx.link(exact, lang="sql")
+    assert hits and hits[0]["exact"] and hits[0]["score"] == 1.0
+
+
+def test_link_unrelated_returns_nothing():
+    idx = LinkageIndex.build(_corpus(), LinkageConfig())
+    assert idx.link("completely unrelated prose about gardening and tea",
+                    lang="txt") == []
+
+
+def test_link_empty_corpus():
+    empty = rd.from_arrow(pa.table({
+        "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+    }))
+    idx = LinkageIndex.build(empty, LinkageConfig())
+    assert idx.link("anything") == []
+
+
+def test_serving_actor_roundtrip():
+    cfg = LinkageConfig()
+    idx = LinkageIndex.build(_corpus(), cfg)
+    # re-wrap the already-collected block rows in an actor replica
+    tbl = pa.table({
+        "block_key": pa.array(idx._keys, pa.int64()),
+        "row_id": pa.array(idx._row_id, pa.int64()),
+        "sig": pa.array([idx._sig[i].tobytes() for i in range(len(idx._sig))],
+                        pa.binary(cfg.num_perm * 4)),
+        "sig_tok": pa.array([idx._sig_tok[i].tobytes()
+                             for i in range(len(idx._sig_tok))],
+                            pa.binary(cfg.num_perm_tok * 4)),
+        "n_chars": pa.array(idx._n_chars, pa.int64()),
+        "sha16": pa.array([bytes(x) for x in idx._sha16], pa.binary(16)),
+    })
+    Server = serving_actor(num_cpus=0.5)
+    srv = Server.remote(cfg, tbl)
+    near = ("def load_records(path, schema):\n"
+            "    rows = parse(path)\n"
+            "    return [normalize(r, schema) for r in rows]  # v2\n")
+    hits = ray.get(srv.link.remote(near, "python"))
+    assert hits and hits[0]["score"] >= 0.42
+    ray.kill(srv)
+
+
+def test_multigrain_resolution():
+    from spel_ray.stages.candidates import resolve_multigrain
+
+    cands = pd.DataFrame({
+        "cand_id": [1, 2],
+        "repr_content": [
+            "def load_records(path, schema): return parse(path)",
+            "SELECT id, name FROM users WHERE active = 1",
+        ],
+        "lang": ["python", "sql"],
+    })
+    records = rd.from_arrow(pa.table({
+        "row_id": [10, 11, 12],
+        "norm_content": [
+            "def load_records(path, schema): return parse(path) # same",
+            "SELECT id, name FROM users WHERE active = 1 ORDER BY id",
+            "completely unrelated gardening prose with zero overlap",
+        ],
+    }))
+    out = resolve_multigrain(records, cands, k=3, min_score=0.3) \
+        .to_pandas().set_index("row_id").sort_index()
+    assert out.loc[10, "resolved_cand"] == 1
+    assert out.loc[11, "resolved_cand"] == 2
+    assert out.loc[12, "resolved_cand"] == 0      # NO_MATCH
+    assert out.loc[10, "n_surviving"] >= 1
