@@ -21,6 +21,9 @@ public reference repo, published papers).
 """
 
 from spel_ray.config import LinkageConfig
+from spel_ray.extension import (
+    Blocker, PairScorer, register_blocker, register_scorer)
 
-__all__ = ["LinkageConfig"]
-__version__ = "0.1.0"
+__all__ = ["LinkageConfig", "PairScorer", "Blocker",
+           "register_scorer", "register_blocker"]
+__version__ = "0.2.0"
