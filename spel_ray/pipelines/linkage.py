@@ -94,8 +94,16 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
     star = stage("components", lambda: connected_components(
         edges, num_buckets=num_buckets, max_rounds=cfg.max_cc_rounds,
         driver_threshold=cfg.cc_driver_threshold))
+    # assignment only needs row_id: when records are lazy (not pinned, not
+    # checkpointed) a slim 3-column pruned read re-derives ids instead of
+    # re-running sha256+normalize over all content
+    if ckpt is None and not (cfg.use_verifier and cfg.pin_records):
+        from spel_ray.stages.fingerprint import row_ids
+        ids_ds = row_ids(ds)
+    else:
+        ids_ds = records
     clusters = stage("clusters", lambda: assign_clusters(
-        records, star, num_buckets=num_buckets))
+        ids_ds, star, num_buckets=num_buckets))
     if ckpt is None:
         clusters = clusters.materialize()
 

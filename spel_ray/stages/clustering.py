@@ -137,6 +137,9 @@ def connected_components(edges: ray.data.Dataset, *, num_buckets: int = 64,
     Above: one bucketed shuffle per hash-to-min round; the driver loop is the
     fixpoint control the survey flags as the hard part of iteration in a DAG
     engine (SURVEY.md §7.4)."""
+    # edge rows are 16 bytes — pin once so the count probe and the chosen
+    # branch don't each re-execute the whole upstream pair pipeline
+    edges = edges.materialize()
     if driver_threshold > 0 and edges.count() <= driver_threshold:
         return _driver_components(edges)
     cur = edges

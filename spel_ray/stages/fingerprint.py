@@ -93,6 +93,29 @@ def strip_code_comments(content: pa.ChunkedArray | pa.Array,
     return cat.take(pa.array(inv))
 
 
+def row_id_batch(batch: pa.Table) -> pa.Table:
+    """(repo, path, commit) → row_id only — the slim id pass for consumers
+    (cluster assignment) that never need content, sha, or normalization."""
+    repo = batch["repo"].to_pylist()
+    path = batch["path"].to_pylist()
+    commit = batch["commit"].to_pylist()
+    row_ids = np.empty(len(repo), dtype=np.int64)
+    for i, (r, p, c) in enumerate(zip(repo, path, commit)):
+        key = f"{r}\x00{p}\x00{c}".encode()
+        row_ids[i] = int.from_bytes(
+            hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    return pa.table({"row_id": pa.array(row_ids, pa.int64())})
+
+
+def row_ids(ds: ray.data.Dataset, *, batch_size: int = 8192) -> ray.data.Dataset:
+    """Slim (row_id) dataset. The select_columns BEFORE any map lets Ray
+    push the projection into the parquet read — content bytes never leave
+    storage for this pass."""
+    return ds.select_columns(["repo", "path", "commit"]).map_batches(
+        row_id_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+
+
 def fingerprint_batch(batch: pa.Table, *, strip_comments: bool = True) -> pa.Table:
     """Arrow in / Arrow out: adds row_id, content_sha256, norm_content, n_chars.
 
