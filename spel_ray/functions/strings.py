@@ -104,3 +104,53 @@ def levenshtein_ratio(a: str, b: str) -> float:
     if la == 0 and lb == 0:
         return 1.0
     return 1.0 - levenshtein(a, b) / max(la, lb)
+
+
+# --------------------------------------------------------------- mojibake
+# Common double-encoding artifacts (UTF-8 bytes read back as latin-1 /
+# cp1252) — the engine analog of the reference's detokenizer repair table
+# (reference ``span_annotation.py:44-46``: 'A-circumflex pound'->'pound'
+# etc.). The general repair below inverts the full corruption class; the
+# table lists high-frequency cases for the mixed clean+corrupt fallback.
+MOJIBAKE_TABLE = {
+    "Â£": "£",    # pound
+    "Â°": "°",    # degree
+    "Â®": "®",    # (R)
+    "Â©": "©",    # (C)
+    "â€™": "’",   # right single quote
+    "â€˜": "‘",   # left single quote
+    "â€œ": "“",   # left double quote
+    "â€\x9d": "”",     # right double quote
+    "â€“": "–",   # en dash
+    "â€”": "—",   # em dash
+    "â€¦": "…",   # ellipsis
+    "Ã©": "é", "Ã¨": "è",
+    "Ã¼": "ü", "Ã¶": "ö",
+    "Ã¤": "ä", "Ã±": "ñ",
+    "Ã§": "ç", "Ã ": "à",
+}
+
+_MOJIBAKE_HINT = re.compile("[ÂÃâ]")
+
+
+def fix_mojibake(text: str) -> str:
+    """Repair UTF-8-decoded-as-cp1252 mojibake when (and only when) the
+    inverse round-trip produces strictly valid UTF-8; otherwise apply the
+    table for partial repairs. Idempotent on clean text."""
+    if not text or not _MOJIBAKE_HINT.search(text):
+        return text
+    try:
+        repaired = text.encode("cp1252", errors="strict").decode(
+            "utf-8", errors="strict")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        # mixed clean+corrupt text: targeted table repairs only
+        for bad, good in MOJIBAKE_TABLE.items():
+            text = text.replace(bad, good)
+        return text
+    return repaired
+
+
+def fix_mojibake_batch(texts: list[str | None]) -> list[str]:
+    """Batch form for map_batches — the hint regex short-circuits the
+    overwhelmingly common clean case to one C scan per row."""
+    return [fix_mojibake(t) if t else (t or "") for t in texts]

@@ -79,13 +79,23 @@ class CandidateScorer:
 
     def __init__(self, cand_ref, k: int = 5, dim: int = 1024, n: int = 4,
                  min_score: float = 0.35, temperature: float = 10.0,
-                 restrict_ids: np.ndarray | None = None):
+                 restrict_ids: np.ndarray | None = None,
+                 mask_ids: np.ndarray | None = None):
         ids, mat = ray.get(cand_ref)            # shipped once per actor
         if restrict_ids is not None:            # head shrinking (T2)
             keep = np.isin(ids, np.concatenate([[NO_MATCH_ID], restrict_ids]))
             ids, mat = ids[keep], mat[keep]
         self.ids = ids
         self.mat = mat
+        # soft inference-time vocab mask (T3, ≙ reference's additive -10000
+        # over non-domain vocab rows, ``data_loader.py:77-93``): unlike the
+        # hard T2 restriction, masked candidates stay in the matrix but can
+        # never win — the top-k lists still show them at floor probability,
+        # preserving the reference's "mask, don't shrink" observability
+        self.mask = None
+        if mask_ids is not None:
+            allowed = np.isin(ids, np.concatenate([[NO_MATCH_ID], mask_ids]))
+            self.mask = np.where(allowed, 0.0, -1e4).astype(np.float32)
         self.k = k
         self.dim = dim
         self.n = n
@@ -96,6 +106,8 @@ class CandidateScorer:
         texts = batch["norm_content"].to_pylist()
         emb = embed_char_ngrams(texts, dim=self.dim, n=self.n)
         scores = emb @ self.mat.T                       # (b, C)
+        if self.mask is not None:
+            scores = scores + self.mask[None, :]
         k = min(self.k, scores.shape[1])
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         rows_ids, rows_probs = [], []
@@ -121,17 +133,19 @@ def score_against_candidates(records: ray.data.Dataset,
                              cfg: LinkageConfig | None = None, *,
                              k: int = 5, dim: int = 1024,
                              min_score: float = 0.35,
+                             mask_ids: np.ndarray | None = None,
                              concurrency: tuple[int, int] = (1, 8),
                              batch_size: int = 1024) -> ray.data.Dataset:
     """records (with norm_content) × fixed candidate table → top-k columns.
 
     The candidate matrix is built on the driver and broadcast via ``ray.put``
-    — read once per actor, never per batch."""
+    — read once per actor, never per batch. ``mask_ids`` applies the soft
+    inference-time vocab mask (T3)."""
     cand_ref = ray.put(build_candidate_matrix(candidates, dim=dim))
     return records.map_batches(
         CandidateScorer,
         fn_constructor_kwargs={"cand_ref": cand_ref, "k": k, "dim": dim,
-                               "min_score": min_score},
+                               "min_score": min_score, "mask_ids": mask_ids},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

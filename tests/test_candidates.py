@@ -79,3 +79,23 @@ def test_topk_lists_sorted_desc():
     for probs in scored.to_pandas()["top_probs"]:
         assert list(probs) == sorted(probs, reverse=True)
         assert probs[0] == pytest.approx(sum(p for p in probs) - sum(probs[1:]))
+
+
+def test_inference_vocab_mask_soft():
+    """T3 soft mask: masked candidates stay in the top-k lists but can
+    never win — record 300 (an exact copy of cand 3) must resolve to
+    NO_MATCH when cand 3 is masked out, while unmasked records keep their
+    resolutions."""
+    scored = score_against_candidates(
+        _records(), CANDS, k=3, dim=512, min_score=0.35,
+        mask_ids=np.array([1, 2]))          # cand 3 masked
+    out = resolve_candidates(scored).to_pandas().set_index("row_id")
+    assert out.loc[100, "resolved_cand"] == 1      # unmasked: unchanged
+    assert out.loc[200, "resolved_cand"] == 2
+    assert out.loc[300, "resolved_cand"] == NO_MATCH_ID   # masked away
+    # hard restriction vs soft mask: restricted scorer drops the row
+    # entirely; masked scorer keeps the full list shape
+    lists = score_against_candidates(
+        _records(), CANDS, k=3, dim=512,
+        mask_ids=np.array([1, 2])).to_pandas().set_index("row_id")
+    assert len(lists.loc[300, "top_ids"]) == 3

@@ -40,3 +40,27 @@ def test_token_jaccard():
     assert out[1] == 1.0
     assert 0 < out[0] < 1
     assert out[2] == 1.0
+
+
+def test_fix_mojibake_roundtrip_cases():
+    from spel_ray.functions.strings import fix_mojibake
+
+    assert fix_mojibake("price Â£5 and 30Â°C") == "price £5 and 30°C"
+    assert fix_mojibake("cafÃ© rÃ©sumÃ©") == "café résumé"
+    assert fix_mojibake("donâ€™t stop") == "don’t stop"
+
+
+def test_fix_mojibake_leaves_clean_text_alone():
+    from spel_ray.functions.strings import fix_mojibake
+
+    for s in ["plain ascii", "déjà vu £ 30° — ok", "", "中文文本"]:
+        assert fix_mojibake(s) == s
+    # idempotent: repairing twice equals repairing once
+    once = fix_mojibake("cafÃ©")
+    assert fix_mojibake(once) == once
+
+
+def test_fix_mojibake_batch():
+    from spel_ray.functions.strings import fix_mojibake_batch
+
+    assert fix_mojibake_batch(["Â£9", None, "ok"]) == ["£9", "", "ok"]
