@@ -65,8 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
         "ngram_distinct_counts": dq.q_ngram_distinct_counts,
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
+        "curation_basic": dq.q_curation_basic,
+        "curation_full": dq.q_curation_full,             # rows-only
         "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
         "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
+        "hard_negatives": dq.q_hard_negatives,               # rows-only
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "candidate_multigrain": dq.q_candidate_multigrain,   # rows-only
         "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
@@ -224,6 +227,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (doc_id * 2654435761) % 100 < 80
                         THEN 'train' ELSE 'test' END AS part
             FROM documents
+            ORDER BY doc_id
+        """,
+        "curation_basic": """
+            SELECT doc_id, text,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS part
+            FROM (
+                SELECT MIN(doc_id) AS doc_id, text
+                FROM documents
+                WHERE length(text) > 99
+                  AND len(regexp_split_to_array(trim(text), '\\s+')) > 9
+                  AND trim(text) <> ''
+                GROUP BY text
+            )
             ORDER BY doc_id
         """,
         "exact_dedup_docs": """

@@ -1,0 +1,133 @@
+"""Training-data curation — the composite pipeline a 100 TB corpus runs
+nightly: quality gate → dedup → deterministic split → partitioned output.
+
+Composes the engine's first-class operators end-to-end (each independently
+oracled/tested) the way the reference composes its data preparation for
+fine-tuning (reference ``data_loader.py:99-152``: filter → canonicalize →
+truncate → split):
+
+    documents
+      → length/token gate           (vectorized Arrow kernels)
+      → exact dedup                 (content-hash bucketed, min-id keeps)
+      → [optional] MinHash near-dup (cluster representatives only)
+      → deterministic train/test split (multiplicative hash — no RNG)
+      → write partitioned parquet   (one directory per split)
+
+Everything streams; the only materialization is the slim near-dup cluster
+table when that stage is on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from spel_ray.config import LinkageConfig
+
+
+def curate_documents(ds: ray.data.Dataset, *,
+                     min_chars: int = 100, min_tokens: int = 10,
+                     near_dedup: bool = False,
+                     cfg: LinkageConfig | None = None,
+                     train_pct: int = 80,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """documents (doc_id, text, …) → curated rows with a ``part`` column.
+
+    With ``near_dedup=False`` every step is exactly expressible in SQL (the
+    driver oracle); with ``near_dedup=True`` a MinHash-LSH pass additionally
+    keeps only each near-dup cluster's min-id representative."""
+    from spel_ray.functions.dedup import exact_dedup, minhash_dedup
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        n_toks = pc.count_substring_regex(text, pattern=r"\S+")
+        keep = pc.and_(pc.greater(n_chars, min_chars - 1),
+                       pc.greater(n_toks, min_tokens - 1))
+        return batch.filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id",
+                          num_buckets=num_buckets)
+
+    if near_dedup:
+        clusters = minhash_dedup(
+            deduped, cfg or LinkageConfig(use_verifier=False),
+            text_col="text", id_col="doc_id", num_buckets=num_buckets)
+        # representatives: doc_id == cluster_id (min-id member). Kept via a
+        # bucketed SEMI-JOIN (both sides shuffled by doc_id hash) — never a
+        # driver-side id-set broadcast, which would scale with corpus size
+        reps = clusters.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.filter(pc.equal(t["doc_id"],
+                                            t["cluster_id"]))["doc_id"]}),
+            batch_format="pyarrow")
+        deduped = _semijoin_docs(deduped, reps, num_buckets=num_buckets)
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64).view(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(100)
+        part = np.where(h < train_pct, "train", "test")
+        return batch.append_column("part", pa.array(part.tolist(), pa.string()))
+
+    return deduped.map_batches(split, batch_format="pyarrow")
+
+
+def _semijoin_docs(docs: ray.data.Dataset, keep_ids: ray.data.Dataset, *,
+                   num_buckets: int) -> ray.data.Dataset:
+    """docs ⋉ keep_ids on doc_id — one bucketed shuffle, Arrow throughout
+    (left columns pass through untouched; the id side is a slim tag)."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    sch = docs.schema()
+    cols = list(sch.names)
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)          # pandas/numpy-backed blocks
+        if dt == np.dtype(object):
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    types = {n: _arrow_type(t) for n, t in zip(sch.names, sch.types)}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        out = {c: pa.nulls(batch.num_rows, types[c]) for c in cols}
+        out["doc_id"] = batch["doc_id"]
+        out["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table({**{c: out[c] for c in cols}, "_side": out["_side"]})
+
+    u = docs.map_batches(tag_left, batch_format="pyarrow").union(
+        keep_ids.map_batches(tag_right, batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        keep = set(t.filter(pc.equal(t["_side"], 1))["doc_id"].to_pylist())
+        left = t.filter(pc.equal(t["_side"], 0))
+        mask = np.fromiter((int(d) in keep
+                            for d in left["doc_id"].to_pylist()),
+                           dtype=bool, count=left.num_rows)
+        return left.filter(pa.array(mask)).drop_columns(["_side"])
+
+    return bucketed_groupby(u, "doc_id", resolve, num_buckets=num_buckets,
+                            batch_format="pyarrow")
+
+
+def write_curated(ds: ray.data.Dataset, out_dir: str) -> dict:
+    """Partitioned output: one directory per split (resumable-output
+    shape). Returns per-split row counts."""
+    counts: dict[str, int] = {}
+    for part in ["train", "test"]:
+        sub = ds.map_batches(
+            lambda t, p=part: t.filter(pc.equal(t["part"], p)),
+            batch_format="pyarrow")
+        sub.write_parquet(f"{out_dir}/part={part}")
+        counts[part] = sub.count()
+    return counts

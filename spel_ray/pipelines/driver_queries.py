@@ -142,6 +142,29 @@ def q_ngram_distinct_counts(sf_dir: str) -> pd.DataFrame:
              .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_basic(sf_dir: str) -> pd.DataFrame:
+    """Composite curation pipeline (quality gate → exact dedup →
+    deterministic split), every step SQL-expressible — the oracled
+    skeleton of a nightly training-data job."""
+    from spel_ray.pipelines.curation import curate_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = curate_documents(ds, min_chars=100, min_tokens=10,
+                           near_dedup=False).to_pandas()
+    return out[["doc_id", "text", "part"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def q_curation_full(sf_dir: str) -> pd.DataFrame:
+    """rows-only: the same pipeline with the MinHash near-dup stage on
+    (cluster representatives only survive)."""
+    from spel_ray.pipelines.curation import curate_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = curate_documents(ds, min_chars=100, min_tokens=10,
+                           near_dedup=True).to_pandas()
+    return out[["doc_id", "text", "part"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """rows-only: near-dup clusters over documents via MinHash-LSH."""
     from spel_ray.functions.dedup import minhash_dedup
@@ -162,6 +185,21 @@ def q_linkage_docs_verified(sf_dir: str) -> pd.DataFrame:
     cfg = LinkageConfig(use_verifier=True)
     res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
     return res.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """rows-only: global top-50 hardest negatives (highest-scoring
+    non-match candidate pairs) from the documents linkage run — the T5
+    two-stage top-k over the scored pair set."""
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+    from spel_ray.stages.pairs import mine_hard_negatives
+
+    cfg = LinkageConfig(use_verifier=False)
+    res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
+    out = mine_hard_negatives(res.pairs, cfg, n=50).to_pandas()
+    out["score"] = out["score"].round(5)
+    return out.reset_index(drop=True)
 
 
 def q_simhash_candidates_docs(sf_dir: str) -> pd.DataFrame:

@@ -183,6 +183,37 @@ def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def mine_hard_negatives(pairs: ray.data.Dataset, cfg: LinkageConfig,
+                        n: int = 1000) -> ray.data.Dataset:
+    """Global top-n highest-scoring NON-matches (score below the edge
+    threshold, not exact) — the engine's T5 analog (reference hard-negative
+    miner ``model.py:126-158``: per-batch top-k → global top-k). These are
+    the pairs a threshold-calibration or training loop wants to look at.
+
+    Two-stage: a vectorized per-batch partial top-n (argpartition) keeps at
+    most n rows per block, then one tiny global sort-limit — the full pair
+    set is never globally sorted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pairs.schema() is None:              # no pairs at all
+        return pairs
+    thr = cfg.score_threshold
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(batch["score"], thr),
+                       pc.invert(batch["exact"]))
+        t = batch.filter(keep).select(["id_lo", "id_hi", "score"])
+        if t.num_rows > n:
+            s = np.asarray(t["score"])
+            idx = np.argpartition(-s, n - 1)[:n]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow")
+    return parts.sort("score", descending=True).limit(n)
+
+
 def scored_candidate_pairs(block_rows: ray.data.Dataset, cfg: LinkageConfig,
                            *, num_buckets: int = 64) -> ray.data.Dataset:
     """block rows → deduped scored candidate pairs.

@@ -1,0 +1,58 @@
+"""Composite curation pipeline: gate → dedup → (near-dedup) → split → write."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from spel_ray.pipelines.curation import curate_documents, write_curated
+
+LONG = ("the quick brown fox jumps over the lazy dog and keeps running far "
+        "into the deep green forest long after nightfall has come and gone")
+OTHER = ("databases love vectorized execution with columnar storage engines "
+         "because cache friendly batch kernels amortize dispatch overhead")
+
+
+def _docs():
+    near = LONG.replace("lazy", "sleepy")
+    return rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [LONG,                    # kept
+                 LONG,                    # exact dup of 1 → dropped
+                 near,                    # near dup of 1 (kept unless near_dedup)
+                 "too short",             # gated: < 100 chars
+                 " ".join(["word"] * 9),  # gated: < 10 tokens (and short)
+                 OTHER],                  # distinct content, kept
+    }))
+
+
+def test_gate_and_exact_dedup_and_split():
+    out = curate_documents(_docs(), min_chars=100, min_tokens=10,
+                           near_dedup=False, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 6]
+    assert set(out["part"]) <= {"train", "test"}
+    # deterministic split: same hash rule every run
+    again = curate_documents(_docs(), near_dedup=False,
+                             num_buckets=4).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_near_dedup_keeps_representatives():
+    out = curate_documents(_docs(), min_chars=100, min_tokens=10,
+                           near_dedup=True, num_buckets=4).to_pandas()
+    ids = sorted(out["doc_id"])
+    assert 1 in ids          # cluster representative (min id)
+    assert 3 not in ids      # near-dup of 1 removed
+    assert 6 in ids
+
+
+def test_write_curated_partitions(tmp_path):
+    ds = curate_documents(_docs(), near_dedup=False, num_buckets=4)
+    counts = write_curated(ds, str(tmp_path / "out"))
+    total = 0
+    for part in ["train", "test"]:
+        files = list((tmp_path / "out" / f"part={part}").glob("*.parquet"))
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert n == counts[part]
+        total += n
+    assert total == 3

@@ -74,3 +74,28 @@ def test_merge_vote_max_score_wins():
     assert r["n_blocks"] == 3
     assert not bool(r["capped"])  # uncapped evidence exists
     assert out.loc[(3, 4)]["n_blocks"] == 1
+
+
+def test_mine_hard_negatives_ranks_near_misses():
+    """T5 analog: the top hard negatives are the highest-scoring pairs
+    strictly below the edge threshold, never exact or accepted pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.stages.pairs import mine_hard_negatives
+
+    cfg = LinkageConfig()
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": [1, 2, 3, 4, 5],
+        "id_hi": [11, 12, 13, 14, 15],
+        "block_key": [0] * 5,
+        "jac": [0.9, 0.41, 0.40, 0.2, 1.0],
+        "exact": [False, False, False, False, True],
+        "score": [0.9, 0.41, 0.40, 0.2, 1.0],
+        "capped": [False] * 5,
+    }))
+    out = mine_hard_negatives(pairs, cfg, n=2).to_pandas()
+    # 0.9 is an accepted edge, 1.0 is exact; hardest negatives are .41, .40
+    assert list(out["id_lo"]) == [2, 3]
+    assert list(out["score"]) == [0.41, 0.40]
