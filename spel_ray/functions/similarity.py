@@ -47,16 +47,13 @@ def ann_topk_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
         emb = _normalize(emb)
         sims = q @ emb.T                                    # (Q, b)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = []
-        for qi in range(sims.shape[0]):
-            for c in part[qi]:
-                rows.append((qi, int(ids[c]), float(sims[qi, c])))
-        arr = np.array(rows, dtype=object)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]   # (Q, kk)
+        qi = np.repeat(np.arange(sims.shape[0], dtype=np.int64), kk)
+        cols = part.reshape(-1)
         return pa.table({
-            "qi": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cosine": pa.array([r[2] for r in rows], pa.float64()),
+            "qi": pa.array(qi, pa.int64()),
+            "vec_id": pa.array(ids[cols].astype(np.int64), pa.int64()),
+            "cosine": pa.array(sims[qi, cols], pa.float64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
@@ -125,20 +122,24 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: np.ndarray,
         ids = np.asarray(batch[id_col])
         emb = _normalize(np.vstack(batch[emb_col].to_pylist()).astype(np.float64))
         assign = np.argmax(emb @ cent_.T, axis=1)
-        qi_out, id_out, s_out = [], [], []
+        qi_parts, id_parts, s_parts = [], [], []
         for c in np.unique(assign):
             qis = probes_.get(int(c))
             if not qis:
                 continue
             rows = np.flatnonzero(assign == c)
             sims = q[qis] @ emb[rows].T                  # (|qis|, |rows|)
-            for a, qi in enumerate(qis):
-                qi_out.extend([qi] * len(rows))
-                id_out.extend(int(ids[r]) for r in rows)
-                s_out.extend(float(s) for s in sims[a])
-        return pa.table({"qi": pa.array(qi_out, pa.int64()),
-                         "vec_id": pa.array(id_out, pa.int64()),
-                         "cosine": pa.array(s_out, pa.float64())})
+            qi_parts.append(np.repeat(np.asarray(qis, np.int64), len(rows)))
+            id_parts.append(np.tile(ids[rows].astype(np.int64), len(qis)))
+            s_parts.append(sims.reshape(-1))
+        if not qi_parts:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "qi": pa.array(np.concatenate(qi_parts), pa.int64()),
+            "vec_id": pa.array(np.concatenate(id_parts), pa.int64()),
+            "cosine": pa.array(np.concatenate(s_parts), pa.float64())})
 
     parts = ds.map_batches(score, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
@@ -193,19 +194,37 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: np.ndarray,
         ids = np.asarray(batch[id_col])
         emb = _normalize(np.vstack(batch[emb_col].to_pylist()).astype(np.float64))
         bks = bucket_of(emb)                                # (b, T)
-        qi_out, id_out, s_out = [], [], []
-        # candidate set per row = union of queries sharing any bucket
-        for r in range(len(ids)):
-            cand: set[int] = set()
-            for t in range(n_tables):
-                cand.update(qmap.get(int(bks[r, t]), ()))
-            for qi in cand:
-                qi_out.append(qi)
-                id_out.append(int(ids[r]))
-                s_out.append(float(q[qi] @ emb[r]))
-        return pa.table({"qi": pa.array(qi_out, pa.int64()),
-                         "vec_id": pa.array(id_out, pa.int64()),
-                         "cosine": pa.array(s_out, pa.float64())})
+        # vectorized probe: translate the batch's DISTINCT bucket keys once,
+        # expand to (row, query) pairs with repeats, dedupe, then one gather
+        # + rowwise dot — no per-row Python set union
+        uniq, inv = np.unique(bks, return_inverse=True)     # inv: (b*T,)
+        hits = [np.asarray(qmap.get(int(u), ()), dtype=np.int64)
+                for u in uniq]
+        counts = np.array([len(h) for h in hits], dtype=np.int64)
+        if counts.sum() == 0:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        rows_flat = np.repeat(np.arange(len(ids), dtype=np.int64), n_tables)
+        per_cell = counts[inv]                              # hits per (row,t)
+        row_rep = np.repeat(rows_flat, per_cell)
+        # segment-expand the unique-bucket hit lists by inv, all in numpy
+        flat = np.concatenate(hits) if len(hits) else np.empty(0, np.int64)
+        starts = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+        total = int(per_cell.sum())
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.r_[np.int64(0),
+                                    np.cumsum(per_cell)[:-1]], per_cell))
+        qi_rep = flat[np.repeat(starts[inv], per_cell) + within]
+        # dedupe (row, qi) pairs that collide in several tables
+        key = row_rep * np.int64(1 << 32) + qi_rep
+        _, first = np.unique(key, return_index=True)
+        row_u, qi_u = row_rep[first], qi_rep[first]
+        sims = (q[qi_u] * emb[row_u]).sum(axis=1)
+        return pa.table({"qi": pa.array(qi_u, pa.int64()),
+                         "vec_id": pa.array(ids[row_u].astype(np.int64),
+                                            pa.int64()),
+                         "cosine": pa.array(sims, pa.float64())})
 
     parts = ds.map_batches(probe, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
