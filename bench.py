@@ -73,7 +73,8 @@ def run_bench() -> dict:
     qs = entrymod.queries()
     for name in ["lineitem_agg", "orders_customer_join", "events_window",
                  "top_orders", "exact_dedup_docs", "minhash_dedup_docs",
-                 "ann_topk", "sessionize"]:
+                 "ann_topk", "sessionize", "curation_basic",
+                 "align_segmentations"]:
         t0 = time.time()
         qs[name](SF_DIR)
         queries[name] = round(time.time() - t0, 3)

@@ -27,7 +27,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# `python jobs/linkage_job.py` puts jobs/ (not the repo root) on sys.path —
+# bootstrap the parent so the package imports in every invocation style
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -38,6 +44,10 @@ def main() -> None:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--score-threshold", type=float, default=None)
     p.add_argument("--use-verifier", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard-level ingest resume (requires "
+                        "--checkpoint-dir; one shard per input-file group)")
+    p.add_argument("--num-shards", type=int, default=None)
     args = p.parse_args()
 
     import ray
@@ -60,9 +70,18 @@ def main() -> None:
     cfg = LinkageConfig(**overrides)
 
     t0 = time.time()
-    res = run_linkage(read_code_table(args.input), cfg,
-                      num_buckets=args.num_buckets,
-                      checkpoint_dir=args.checkpoint_dir)
+    if args.sharded:
+        if not args.checkpoint_dir:
+            raise SystemExit("--sharded requires --checkpoint-dir")
+        from spel_ray.pipelines.sharded import run_linkage_sharded
+        res = run_linkage_sharded(args.input, cfg,
+                                  checkpoint_dir=args.checkpoint_dir,
+                                  num_shards=args.num_shards,
+                                  num_buckets=args.num_buckets)
+    else:
+        res = run_linkage(read_code_table(args.input), cfg,
+                          num_buckets=args.num_buckets,
+                          checkpoint_dir=args.checkpoint_dir)
     n_pairs = res.pairs.count()
     res.clusters.write_parquet(args.output)
     elapsed = time.time() - t0
