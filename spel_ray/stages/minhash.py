@@ -148,19 +148,26 @@ class MinHasher:
             [None, pa.py_buffer(sigs_t.tobytes())]))
 
 
-def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
-    """Zero-copy-ish view of a fixed_size_binary signature column as
-    (n, num_perm) uint32."""
+def fixed_binary_view(col: pa.ChunkedArray | pa.Array, width_units: int,
+                      dtype) -> np.ndarray:
+    """(n, width_units) view of a fixed_size_binary column — pure buffer
+    arithmetic, no per-row Python objects. The one helper behind every
+    signature/sha view in the engine."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     buf = col.buffers()[1]
     if buf is None or len(col) == 0:
-        return np.zeros((0, num_perm), dtype=np.uint32)
-    arr = np.frombuffer(buf, dtype=np.uint32)
-    # account for array offset into the buffer
-    off = col.offset * num_perm
+        return np.zeros((0, width_units), dtype=dtype)
+    arr = np.frombuffer(buf, dtype=dtype)
+    off = col.offset * width_units        # account for array offset
     n = len(col)
-    return arr[off: off + n * num_perm].reshape(n, num_perm)
+    return arr[off: off + n * width_units].reshape(n, width_units)
+
+
+def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+    """Zero-copy-ish view of a fixed_size_binary signature column as
+    (n, num_perm) uint32."""
+    return fixed_binary_view(col, num_perm, np.uint32)
 
 
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:

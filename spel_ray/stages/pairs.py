@@ -35,17 +35,7 @@ from spel_ray.state.shuffle import bucketed_groupby, pair_key
 PAIR_COLS = ["id_lo", "id_hi", "block_key", "jac", "exact", "score", "capped"]
 
 
-def _fixed_binary_view(col, width_units: int, dtype) -> np.ndarray:
-    """(n, width_units) view of a fixed_size_binary column — pure buffer
-    arithmetic, no per-row Python objects."""
-    import pyarrow as pa
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    arr = np.frombuffer(col.buffers()[1], dtype=dtype)
-    off = col.offset * width_units
-    n = len(col)
-    return arr[off: off + n * width_units].reshape(n, width_units)
+from spel_ray.stages.minhash import fixed_binary_view as _fixed_binary_view
 
 
 def _gen_and_score_bucket(t, cfg: LinkageConfig, scorer=None):

@@ -95,3 +95,50 @@ def test_signatures_deterministic_and_shape(t):
     assert (s1 == s2).all()
     ts = MH.token_signature(t)
     assert ts.shape == (CFG.num_perm_tok,)
+
+
+@st.composite
+def segmentations(draw):
+    """Two random span partitions of the same token stream, with optional
+    per-span label noise (gold labels by position bucket)."""
+    n_tokens = draw(st.integers(1, 60))
+    tokens = [f"t{i}" for i in range(n_tokens)]
+
+    def partition():
+        spans, i = [], 0
+        while i < n_tokens:
+            w = draw(st.integers(1, 8))
+            spans.append(" ".join(tokens[i:i + w]))
+            i += w
+        return spans
+
+    gold = [(s, s.split()[0]) for s in partition()]
+    pred = [(s, s.split()[0]) for s in partition()]
+    return gold, pred
+
+
+@settings(max_examples=40, deadline=None)
+@given(segmentations())
+def test_align_spans_total_and_complete(seg):
+    """Any two partitions of the same token stream must align with full
+    coverage, zero drift, and every unit label-correct (labels are the
+    first token of each span, which both sides share at span starts only
+    when boundaries agree — so 'match' units must be correct and the walk
+    must consume every span exactly once in order)."""
+    from spel_ray.stages.align import align_spans
+
+    gold, pred = seg
+    out = align_spans(gold, pred)
+    # totality: no drift, no one-sided tails (same underlying stream)
+    assert all(r["status"] not in ("drift", "gold_only", "pred_only")
+               for r in out)
+    # coverage: every span index appears, in nondecreasing order
+    g_seen = [r["gold_idx"] for r in out]
+    p_seen = [r["pred_idx"] for r in out]
+    assert sorted(set(g_seen)) == list(range(len(gold)))
+    assert sorted(set(p_seen)) == list(range(len(pred)))
+    assert g_seen == sorted(g_seen) and p_seen == sorted(p_seen)
+    # exact-boundary units are matches and correct
+    for r in out:
+        if r["status"] == "match":
+            assert r["correct"]
