@@ -128,6 +128,33 @@ def analyze_documents(ds: ray.data.Dataset, *, batch_size: int = 4096,
                           batch_size=batch_size)
 
 
+def bioes_from_flags(flags: np.ndarray,
+                     seg_ids: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized BIOES converter (M8, reference ``data_loader.py:232-240``):
+    a 0/1 in-mention flag sequence → labels {B,I,O,E,S} = {0,1,2,3,4} via
+    neighbor shift-compare. ``seg_ids`` (e.g. doc ids over a sorted stream)
+    marks sequence boundaries so runs never straddle documents — ordering
+    must come from an explicit sort key, never block order."""
+    f = np.asarray(flags).astype(bool)
+    n = len(f)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    same_prev = np.r_[False, np.ones(n - 1, dtype=bool)]
+    same_next = np.r_[np.ones(n - 1, dtype=bool), False]
+    if seg_ids is not None:
+        s = np.asarray(seg_ids)
+        same_prev[1:] = s[1:] == s[:-1]
+        same_next[:-1] = s[1:] == s[:-1]
+    prev_in = np.r_[False, f[:-1]] & same_prev
+    next_in = np.r_[f[1:], False] & same_next
+    lab = np.full(n, 2, dtype=np.int64)            # O
+    lab[f & ~prev_in & next_in] = 0                # B
+    lab[f & prev_in & next_in] = 1                 # I
+    lab[f & prev_in & ~next_in] = 3                # E
+    lab[f & ~prev_in & ~next_in] = 4               # S
+    return lab
+
+
 def rolling_fingerprint(text: str, window: int = 32, base: int = 257,
                         mod: int = (1 << 61) - 1) -> int:
     """Deterministic document fingerprint: min of a rolling polynomial hash

@@ -257,6 +257,49 @@ def resolve_multigrain(records: ray.data.Dataset, candidates: pd.DataFrame,
         concurrency=concurrency)
 
 
+def canonicalize_candidates(scored: ray.data.Dataset,
+                            redirects: dict[int, int], *,
+                            top_m: int = 4) -> ray.data.Dataset:
+    """Candidate-list post-processor — the engine's M1 analog (reference
+    ``data_loader.py:132-152``: sort by prob desc → redirect
+    canonicalization → drop null → truncate to top-4 → re-normalize):
+    each record's (top_ids, top_probs) lists are mapped through the
+    broadcast redirect dict (alias id → canonical id), duplicate canonical
+    ids merge by SUM of probability mass, no-match entries drop, the list
+    truncates to ``top_m`` and re-normalizes. Deterministic: ties break by
+    lower id."""
+    red_ref = ray.put(redirects)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        red = ray.get(red_ref)
+        ids_col = batch["top_ids"].to_pylist()
+        probs_col = batch["top_probs"].to_pylist()
+        out_ids, out_probs = [], []
+        for ids, probs in zip(ids_col, probs_col):
+            acc: dict[int, float] = {}
+            for i, p in zip(ids or [], probs or []):
+                c = red.get(int(i), int(i))
+                if c == NO_MATCH_ID:
+                    continue
+                acc[c] = acc.get(c, 0.0) + float(p)
+            ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_m]
+            if not ranked:
+                out_ids.append([NO_MATCH_ID])
+                out_probs.append([1.0])
+                continue
+            tot = sum(p for _, p in ranked)
+            out_ids.append([i for i, _ in ranked])
+            out_probs.append([round(p / tot, 6) if tot > 0 else 0.0
+                              for _, p in ranked])
+        out = batch.drop_columns(["top_ids", "top_probs"])
+        out = out.append_column("top_ids", pa.array(out_ids,
+                                                    pa.list_(pa.int64())))
+        return out.append_column("top_probs", pa.array(
+            out_probs, pa.list_(pa.float64())))
+
+    return scored.map_batches(fix, batch_format="pyarrow")
+
+
 def resolve_candidates(scored: ray.data.Dataset,
                        *, num_buckets: int = 16) -> ray.data.Dataset:
     """Reduce top-k lists to one resolved candidate per record (argmax prob;

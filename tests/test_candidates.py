@@ -99,3 +99,23 @@ def test_inference_vocab_mask_soft():
         _records(), CANDS, k=3, dim=512,
         mask_ids=np.array([1, 2])).to_pandas().set_index("row_id")
     assert len(lists.loc[300, "top_ids"]) == 3
+
+
+def test_canonicalize_candidates_m1():
+    """M1 analog: redirect canonicalization merges duplicate mass, drops
+    no-match, truncates, renormalizes."""
+    import ray.data as rd
+
+    from spel_ray.stages.candidates import canonicalize_candidates
+
+    scored = rd.from_arrow(pa.table({
+        "row_id": [1, 2],
+        "top_ids": [[5, 7, 9, 3], [0]],
+        "top_probs": [[0.4, 0.3, 0.2, 0.1], [1.0]],
+    }))
+    # 7 and 9 are aliases of 5; 3 redirects to no-match
+    out = canonicalize_candidates(scored, {7: 5, 9: 5, 3: 0}, top_m=4) \
+        .to_pandas().set_index("row_id")
+    assert out.loc[1, "top_ids"] == [5]
+    assert out.loc[1, "top_probs"] == [1.0]     # 0.9 mass renormalized
+    assert out.loc[2, "top_ids"] == [NO_MATCH_ID]

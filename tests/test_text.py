@@ -84,3 +84,18 @@ def test_fingerprint_deterministic():
 
     out = fingerprint_documents(_docs()).to_pandas()
     assert out["doc_fingerprint"].notna().all()
+
+
+def test_bioes_from_flags():
+    import numpy as np
+
+    from spel_ray.functions.text import bioes_from_flags
+
+    # {B,I,O,E,S} = {0,1,2,3,4}
+    flags = np.array([0, 1, 1, 1, 0, 1, 0])
+    assert bioes_from_flags(flags).tolist() == [2, 0, 1, 3, 2, 4, 2]
+    # segment boundaries cut runs: the mention may not straddle docs
+    seg = np.array([1, 1, 1, 2, 2, 2, 2])
+    assert bioes_from_flags(flags, seg).tolist() == [2, 0, 3, 4, 2, 4, 2]
+    assert bioes_from_flags(np.array([])).tolist() == []
+    assert bioes_from_flags(np.array([1])).tolist() == [4]
