@@ -29,6 +29,11 @@ class LinkageConfig:
     bands: int = 16                 # LSH bands; pair collides if any band matches
     rows_per_band: int = 4
     num_perm_tok: int = 24          # word-token MinHash (cheap in-block verifier)
+    sig_bytes: int = 2              # bytes stored per signature slot (2 or 4).
+    # The Jaccard estimator only tests per-slot EQUALITY; a false 16-bit
+    # collision has probability 2^-16 per slot (estimate bias ~1.5e-5 —
+    # far below the decision margin) while the exploded shuffle payload,
+    # the hottest all-to-all in the pipeline, nearly halves.
     seed: int = 42
 
     strip_comments: bool = True     # strip per-lang line/block comments from
@@ -88,6 +93,8 @@ class LinkageConfig:
                 f"bands*rows_per_band must equal num_perm "
                 f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
             )
+        if self.sig_bytes not in (2, 4):
+            raise ValueError(f"sig_bytes must be 2 or 4, got {self.sig_bytes}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config — part of every checkpoint manifest."""

@@ -33,7 +33,7 @@ from spel_ray.config import LinkageConfig
 from spel_ray.extension import get_scorer
 from spel_ray.stages.blocking import BlockKeyExploder
 from spel_ray.stages.fingerprint import fingerprint, fingerprint_batch
-from spel_ray.stages.minhash import MinHasher, sigs_to_numpy
+from spel_ray.stages.minhash import MinHasher, sig_dtype, sigs_to_numpy
 
 
 def _features(t: pa.Table, cfg: LinkageConfig):
@@ -41,8 +41,9 @@ def _features(t: pa.Table, cfg: LinkageConfig):
     return {
         "block_key": np.asarray(t["block_key"], dtype=np.int64),
         "row_id": np.asarray(t["row_id"], dtype=np.int64),
-        "sig": sigs_to_numpy(t["sig"], cfg.num_perm).copy(),
-        "sig_tok": sigs_to_numpy(t["sig_tok"], cfg.num_perm_tok).copy(),
+        "sig": sigs_to_numpy(t["sig"], cfg.num_perm, sig_dtype(cfg)).copy(),
+        "sig_tok": sigs_to_numpy(t["sig_tok"], cfg.num_perm_tok,
+                                 sig_dtype(cfg)).copy(),
         "n_chars": np.asarray(t["n_chars"], dtype=np.int64),
         "sha16": np.frombuffer(
             b"".join(t["sha16"].to_pylist()), dtype="S16"),
@@ -94,8 +95,9 @@ class LinkageIndex:
             tbl = pa.table({
                 "block_key": pa.array([], pa.int64()),
                 "row_id": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.binary(cfg.num_perm * 4)),
-                "sig_tok": pa.array([], pa.binary(cfg.num_perm_tok * 4)),
+                "sig": pa.array([], pa.binary(cfg.num_perm * cfg.sig_bytes)),
+                "sig_tok": pa.array([], pa.binary(
+                    cfg.num_perm_tok * cfg.sig_bytes)),
                 "n_chars": pa.array([], pa.int64()),
                 "sha16": pa.array([], pa.binary(16)),
             })

@@ -111,20 +111,22 @@ class MinHasher:
         return (bands * self.band_pows[None, :]).sum(axis=1, dtype=np.uint64)
 
     # --- map_batches entry: adds 'sig' + 'sig_tok' (fixed-size binary) ---
-    # Signatures are stored as uint32 (low half of the uint64 minima): the
-    # Jaccard estimator only tests per-permutation EQUALITY, and a false
-    # 32-bit collision has probability 2^-32 per slot — negligible — while
-    # the shuffle payload halves.
+    # Signatures store the LOW cfg.sig_bytes bytes of the uint64 minima:
+    # the Jaccard estimator only tests per-permutation EQUALITY, and a
+    # false k-bit collision has probability 2^-8k per slot (2^-16 at the
+    # default — estimate bias ~1.5e-5, far below the decision margin),
+    # while the exploded shuffle payload shrinks proportionally.
     #
     # Note: a fully batch-vectorized variant (concatenated window hashes +
     # per-permutation minimum.reduceat) was measured 3× SLOWER than this
     # per-row loop — the loop body is already one contiguous (P×S) numpy
     # broadcast-min, which beats reduceat's per-segment overhead.
     def __call__(self, batch: pa.Table) -> pa.Table:
+        dt = sig_dtype(self.cfg)
         texts = batch["norm_content"].to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.cfg.num_perm), dtype=np.uint32)
-        sigs_t = np.empty((n, self.cfg.num_perm_tok), dtype=np.uint32)
+        sigs = np.empty((n, self.cfg.num_perm), dtype=dt)
+        sigs_t = np.empty((n, self.cfg.num_perm_tok), dtype=dt)
         # within-batch memo: exact-duplicate content (boilerplate files,
         # vendored copies) is sketched once — at corpus scale duplicates are
         # a large fraction of rows and signatures are pure functions of text
@@ -138,13 +140,14 @@ class MinHasher:
                 sigs_t[i] = sigs_t[j]
                 continue
             memo[key] = i
-            sigs[i] = self.signature(t).astype(np.uint32)
-            sigs_t[i] = self.token_signature(t).astype(np.uint32)
+            sigs[i] = self.signature(t).astype(dt)
+            sigs_t[i] = self.token_signature(t).astype(dt)
+        w = self.cfg.sig_bytes
         out = batch.append_column("sig", pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(self.cfg.num_perm * 4), n,
+            pa.binary(self.cfg.num_perm * w), n,
             [None, pa.py_buffer(sigs.tobytes())]))
         return out.append_column("sig_tok", pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(self.cfg.num_perm_tok * 4), n,
+            pa.binary(self.cfg.num_perm_tok * w), n,
             [None, pa.py_buffer(sigs_t.tobytes())]))
 
 
@@ -164,10 +167,16 @@ def fixed_binary_view(col: pa.ChunkedArray | pa.Array, width_units: int,
     return arr[off: off + n * width_units].reshape(n, width_units)
 
 
-def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int) -> np.ndarray:
+def sig_dtype(cfg: LinkageConfig):
+    """numpy dtype of stored signature slots for this config."""
+    return np.uint16 if cfg.sig_bytes == 2 else np.uint32
+
+
+def sigs_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int,
+                  dtype=np.uint32) -> np.ndarray:
     """Zero-copy-ish view of a fixed_size_binary signature column as
-    (n, num_perm) uint32."""
-    return fixed_binary_view(col, num_perm, np.uint32)
+    (n, num_perm) of ``dtype`` (pass ``sig_dtype(cfg)``)."""
+    return fixed_binary_view(col, num_perm, dtype)
 
 
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:

@@ -47,11 +47,12 @@ def _gen_and_score_bucket(t, cfg: LinkageConfig, scorer=None):
     import pyarrow as pa
 
     if isinstance(t, pd.DataFrame):      # unit-test convenience path
+        w = cfg.sig_bytes
         t = pa.table({
             "block_key": pa.array(t["block_key"], pa.int64()),
             "row_id": pa.array(t["row_id"], pa.int64()),
-            "sig": pa.array(t["sig"], pa.binary(cfg.num_perm * 4)),
-            "sig_tok": pa.array(t["sig_tok"], pa.binary(cfg.num_perm_tok * 4)),
+            "sig": pa.array(t["sig"], pa.binary(cfg.num_perm * w)),
+            "sig_tok": pa.array(t["sig_tok"], pa.binary(cfg.num_perm_tok * w)),
             "n_chars": pa.array(t["n_chars"], pa.int64()),
             "sha16": pa.array(t["sha16"], pa.binary(16)),
         })
@@ -69,8 +70,10 @@ def _gen_and_score_bucket(t, cfg: LinkageConfig, scorer=None):
     keys = keys_all[sel]
     ids = ids_all[sel]
 
-    sigs = _fixed_binary_view(t["sig"], cfg.num_perm, np.uint32)[sel]
-    sigs_t = _fixed_binary_view(t["sig_tok"], cfg.num_perm_tok, np.uint32)[sel]
+    from spel_ray.stages.minhash import sig_dtype
+    dt = sig_dtype(cfg)
+    sigs = _fixed_binary_view(t["sig"], cfg.num_perm, dt)[sel]
+    sigs_t = _fixed_binary_view(t["sig_tok"], cfg.num_perm_tok, dt)[sel]
     # sha16 as two uint64 words for vectorized equality
     sha2 = _fixed_binary_view(t["sha16"], 2, np.uint64)[sel]
     n_chars = np.asarray(t["n_chars"], dtype=np.int64)[sel]

@@ -39,7 +39,7 @@ def test_labeled_pair_goldens(tiny_code_table, tiny_run):
     lp = labeled_pairs_from_run(tiny_run.pairs, truth)
     # pinned golden numbers for seed-42 tiny corpus (regenerate the golden
     # parquet + these constants together if the pipeline semantics change)
-    assert len(lp) == 419
+    assert len(lp) == 422
     assert int(lp["is_match"].sum()) == 419
     assert set(lp.columns) == {"id_lo", "id_hi", "block_key", "is_match"}
     assert (lp["id_lo"] < lp["id_hi"]).all()

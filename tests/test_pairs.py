@@ -11,8 +11,8 @@ CFG = LinkageConfig(max_block_pairs_n=4)
 
 
 def _block_rows(block_key, ids, sig_fill):
-    sig = np.full(CFG.num_perm, sig_fill, dtype=np.uint32).tobytes()
-    sig_t = np.full(CFG.num_perm_tok, sig_fill, dtype=np.uint32).tobytes()
+    sig = np.full(CFG.num_perm, sig_fill, dtype=np.uint16 if CFG.sig_bytes == 2 else np.uint32).tobytes()
+    sig_t = np.full(CFG.num_perm_tok, sig_fill, dtype=np.uint16 if CFG.sig_bytes == 2 else np.uint32).tobytes()
     return pd.DataFrame({
         "block_key": np.full(len(ids), block_key, dtype=np.int64),
         "row_id": np.array(ids, dtype=np.int64),

@@ -67,10 +67,10 @@ def test_serving_actor_roundtrip():
         "block_key": pa.array(idx._keys, pa.int64()),
         "row_id": pa.array(idx._row_id, pa.int64()),
         "sig": pa.array([idx._sig[i].tobytes() for i in range(len(idx._sig))],
-                        pa.binary(cfg.num_perm * 4)),
+                        pa.binary(cfg.num_perm * cfg.sig_bytes)),
         "sig_tok": pa.array([idx._sig_tok[i].tobytes()
                              for i in range(len(idx._sig_tok))],
-                            pa.binary(cfg.num_perm_tok * 4)),
+                            pa.binary(cfg.num_perm_tok * cfg.sig_bytes)),
         "n_chars": pa.array(idx._n_chars, pa.int64()),
         "sha16": pa.array([bytes(x) for x in idx._sha16], pa.binary(16)),
     })
