@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": dq.q_token_counts,
         "doc_lengths": dq.q_doc_lengths,
         "lang_distribution": dq.q_lang_distribution,
+        "line_stats": dq.q_line_stats,
+        "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
         "langid": dq.q_langid,                       # rows-only
         "quality": dq.q_quality,                     # rows-only
         "doc_fingerprints": dq.q_doc_fingerprints,   # rows-only
@@ -248,6 +250,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY text
             ORDER BY doc_id
+        """,
+        "line_stats": """
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(lines)) AS BIGINT) AS n_unique_lines,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                                   / len(lines)
+                   END AS dup_line_frac
+            FROM (SELECT doc_id,
+                         CASE WHEN text IS NULL OR text = '' THEN []
+                              ELSE string_split(text, chr(10)) END AS lines
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN []
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> array_to_string(w[i:i+2], ' ')))
+                       END AS grams
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []
+                                  ELSE regexp_split_to_array(trim(text),
+                                                             '\\s+')
+                             END AS w
+                      FROM documents WHERE doc_id < 30)
+            )
+            SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+                   CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                        ELSE CAST(len(list_intersect(a.grams, b.grams))
+                                  AS DOUBLE)
+                             / (len(a.grams) + len(b.grams)
+                                - len(list_intersect(a.grams, b.grams)))
+                   END AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ORDER BY id_lo, id_hi
         """,
         "doc_shingle_fingerprint": """
             SELECT doc_id,

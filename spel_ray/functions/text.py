@@ -128,6 +128,35 @@ def analyze_documents(ds: ray.data.Dataset, *, batch_size: int = 4096,
                           batch_size=batch_size)
 
 
+def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Repetition metrics per document (the Gopher/C4-style quality-rule
+    family): line count, distinct-line count, duplicate-line fraction.
+    Repetitious boilerplate is the classic low-quality training-data
+    signal; all three are exactly SQL-expressible (driver oracle)."""
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_lines = np.empty(n, dtype=np.int64)
+        n_uniq = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            lines = (t or "").split("\n") if t else []
+            n_lines[i] = len(lines)
+            n_uniq[i] = len(set(lines))
+        # raw IEEE double of 1 - u/n: both engine and SQL oracle compute the
+        # identical integer division, so no rounding (and no banker's-vs-
+        # half-up disagreement) is needed for hash parity
+        frac = np.where(n_lines > 0,
+                        1.0 - n_uniq / np.maximum(n_lines, 1), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_unique_lines": pa.array(n_uniq, pa.int64()),
+            "dup_line_frac": pa.array(frac, pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def bioes_from_flags(flags: np.ndarray,
                      seg_ids: np.ndarray | None = None) -> np.ndarray:
     """Vectorized BIOES converter (M8, reference ``data_loader.py:232-240``):

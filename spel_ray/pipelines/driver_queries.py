@@ -89,6 +89,54 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_line_stats(sf_dir: str) -> pd.DataFrame:
+    """Repetition metrics (dup-line fraction — the Gopher-style
+    boilerplate signal), DuckDB-oracled."""
+    from spel_ray.functions.text import line_stats
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return line_stats(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Pairwise word-3gram Jaccard among doc_id < 30 (bounded so the
+    oracle's quadratic join stays cheap): the exact-verification kernel of
+    the n-gram dedup family, DuckDB-oracled via list_intersect."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], 30))
+        out = []
+        for txt in t["text"].to_pylist():
+            toks = (txt or "").split()
+            out.append(sorted({" ".join(toks[i:i + 3])
+                               for i in range(len(toks) - 2)})
+                       if len(toks) >= 3 else [])
+        return pa.table({"doc_id": t["doc_id"],
+                         "grams": pa.array(out, pa.list_(pa.string()))})
+
+    df = ds.map_batches(grams, batch_format="pyarrow").to_pandas() \
+           .sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    sets = [set(g) for g in df["grams"]]
+    lo, hi, jac = [], [], []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                j = 1.0
+            else:
+                inter = len(sa & sb)
+                # raw double of the same integer division the SQL oracle
+                # performs — bit-identical, no rounding needed
+                j = inter / (len(sa) + len(sb) - inter)
+            lo.append(int(ids[a]))
+            hi.append(int(ids[b]))
+            jac.append(j)
+    return pd.DataFrame({"id_lo": lo, "id_hi": hi, "jaccard": jac}) \
+        .sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """rows-only: rolling-hash document fingerprints (deterministic)."""
     from spel_ray.functions.text import fingerprint_documents

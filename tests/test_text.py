@@ -99,3 +99,17 @@ def test_bioes_from_flags():
     assert bioes_from_flags(flags, seg).tolist() == [2, 0, 3, 4, 2, 4, 2]
     assert bioes_from_flags(np.array([])).tolist() == []
     assert bioes_from_flags(np.array([1])).tolist() == [4]
+
+
+def test_line_stats_repetition():
+    from spel_ray.functions.text import line_stats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a\nb\na\na", "x\ny\nz", ""],
+    }))
+    out = line_stats(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_unique_lines"] == 2
+    assert abs(out.loc[1, "dup_line_frac"] - 0.5) < 1e-12
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_line_frac"] == 0.0
