@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": dq.q_token_counts,
         "doc_lengths": dq.q_doc_lengths,
         "lang_distribution": dq.q_lang_distribution,
+        "token_vocab": dq.q_token_vocab,
         "line_stats": dq.q_line_stats,
         "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
         "langid": dq.q_langid,                       # rows-only
@@ -250,6 +251,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY text
             ORDER BY doc_id
+        """,
+        "token_vocab": """
+            SELECT token, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+                FROM documents
+                WHERE trim(text) <> ''
+            )
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
         """,
         "line_stats": """
             SELECT doc_id,

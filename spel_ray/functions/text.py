@@ -128,6 +128,57 @@ def analyze_documents(ds: ray.data.Dataset, *, batch_size: int = 4096,
                           batch_size=batch_size)
 
 
+def token_vocab(ds: ray.data.Dataset, top_k: int = 100, *,
+                text_col: str = "text",
+                num_buckets: int = 16) -> "pd.DataFrame":
+    """Corpus-level token vocabulary: global top-k whitespace tokens by
+    frequency (≙ A8 vocab build, reference ``data_loader.py:380-390``) —
+    the canonical pre-aggregate-before-shuffle shape: every batch combines
+    its counts locally (one pandas value_counts), the shuffle moves only
+    (token, partial_count) rows, a bucketed sum finalizes, and the global
+    top-k sorts the (already tiny) per-token totals. Ties break by token
+    text for determinism."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    from zlib import crc32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            toks.extend((t or "").split())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_h": pa.array([], pa.int64())})
+        vc = pd.Series(toks).value_counts()
+        tokens = vc.index.to_numpy(dtype=object)
+        # bucket key MUST be a cross-process-stable hash (crc32) — Python's
+        # hash() is per-process and would split one token across buckets
+        h = np.fromiter((crc32(s.encode()) for s in tokens),
+                        dtype=np.int64, count=len(tokens))
+        return pa.table({"token": pa.array(tokens.tolist(), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                         "_h": pa.array(h, pa.int64())})
+
+    return _token_vocab_finalize(ds.map_batches(partial,
+                                                batch_format="pyarrow"),
+                                 top_k, num_buckets, bucketed_groupby)
+
+
+def _token_vocab_finalize(parts, top_k, num_buckets, bucketed_groupby):
+    def s(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        return g
+    agg = bucketed_groupby(parts, "_h", lambda df: s(df.drop(columns=["_h"])),
+                           num_buckets=num_buckets)
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    return df.sort_values(["n", "token"], ascending=[False, True]) \
+        .head(top_k).reset_index(drop=True)
+
+
 def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
                id_col: str = "doc_id") -> ray.data.Dataset:
     """Repetition metrics per document (the Gopher/C4-style quality-rule

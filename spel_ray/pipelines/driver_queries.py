@@ -89,6 +89,14 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_token_vocab(sf_dir: str) -> pd.DataFrame:
+    """Global top-100 tokens by frequency — the partial-aggregate-then-
+    small-groupby combiner shape, DuckDB-oracled."""
+    from spel_ray.functions.text import token_vocab
+    ds = _docs(sf_dir, ["text"])
+    return token_vocab(ds, top_k=100, num_buckets=16)
+
+
 def q_line_stats(sf_dir: str) -> pd.DataFrame:
     """Repetition metrics (dup-line fraction — the Gopher-style
     boilerplate signal), DuckDB-oracled."""
