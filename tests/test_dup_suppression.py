@@ -67,3 +67,31 @@ def test_no_duplicates_returns_none():
     cfg = LinkageConfig(suppress_dup_bands=True)
     carriers = elect_band_carriers(fingerprint(ds), cfg, num_buckets=4)
     assert carriers is None  # nothing duplicated → no map, no suppression
+
+
+def test_cross_lang_identical_content_still_pairs():
+    """ADVICE r1 regression: with suppression on, identical content under
+    DIFFERENT langs shares no exact key — carrier election is per
+    (lang, sha), so each lang group keeps its own band carrier and the
+    exact-duplicate pair must still score 1.0 and cluster together."""
+    body = "shared_config = {\n    'retries': 3,\n    'timeout': 30,\n}\n"
+    rows = {
+        "repo": ["r1", "r2", "r3", "r4"],
+        "path": ["a.py", "b.js", "c.py", "d.js"],
+        "commit": ["c1", "c2", "c3", "c4"],
+        # same content twice per lang: each lang has a duplicate GROUP, so
+        # election actually fires for both groups
+        "lang": ["python", "js", "python", "js"],
+        "content": [body] * 4,
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    on = LinkageConfig(suppress_dup_bands=True)
+    res = run_linkage(ds, on, num_buckets=4)
+    df = res.clusters.to_pandas()
+    # all four are identical content: unsuppressed clustering puts them in
+    # one cluster via the band keys; suppression must preserve that
+    off = run_linkage(ds, LinkageConfig(suppress_dup_bands=False),
+                      num_buckets=4).clusters.to_pandas()
+    assert (df.sort_values("row_id").reset_index(drop=True)
+              .equals(off.sort_values("row_id").reset_index(drop=True)))
+    assert df["cluster_id"].nunique() == 1
