@@ -95,6 +95,10 @@ class LinkageConfig:
             )
         if self.sig_bytes not in (2, 4):
             raise ValueError(f"sig_bytes must be 2 or 4, got {self.sig_bytes}")
+        if not 1 <= self.sha_prefix_len <= 16:
+            raise ValueError(
+                f"sha_prefix_len must be in 1..16 (the exact key hashes at "
+                f"most the first 64 sha bits), got {self.sha_prefix_len}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config — part of every checkpoint manifest."""

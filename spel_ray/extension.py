@@ -85,12 +85,13 @@ def get_scorer(name: str) -> PairScorer:
     s = _SCORER_CACHE.get(name)
     if s is None:
         try:
-            s = _SCORER_FACTORIES[name]()
+            factory = _SCORER_FACTORIES[name]
         except KeyError:
             raise KeyError(
                 f"unknown scorer {name!r}; registered: "
                 f"{sorted(_SCORER_FACTORIES)}") from None
-        _SCORER_CACHE[name] = s
+        s = factory()       # outside the try: a factory's own KeyError
+        _SCORER_CACHE[name] = s     # must surface, not read as 'unknown'
     return s
 
 

@@ -222,12 +222,17 @@ def simhash_candidates(ds_with_simhash: ray.data.Dataset,
                                  "id_hi": pd.Series(dtype="int64"),
                                  "hamming": pd.Series(dtype="int64"),
                                  "capped": pd.Series(dtype="bool")})
-        return pd.DataFrame({
+        # per-bucket combine: hamming is pair-intrinsic (same value in every
+        # segment), capped must take MIN so full-enumeration evidence beats
+        # a chain edge — drop_duplicates would keep an arbitrary first
+        return (pd.DataFrame({
             "id_lo": np.concatenate(out_lo),
             "id_hi": np.concatenate(out_hi),
             "hamming": np.concatenate(out_d).astype(np.int64),
             "capped": np.concatenate(out_c),
-        }).drop_duplicates(["id_lo", "id_hi"])
+        }).groupby(["id_lo", "id_hi"], sort=False)
+          .agg(hamming=("hamming", "min"), capped=("capped", "min"))
+          .reset_index())
 
     cand = bucketed_groupby(exploded, "seg_key", pairs_in_bucket,
                             num_buckets=num_buckets)

@@ -109,12 +109,12 @@ def _semijoin_docs(docs: ray.data.Dataset, keep_ids: ray.data.Dataset, *,
         keep_ids.map_batches(tag_right, batch_format="pyarrow"))
 
     def resolve(t: pa.Table) -> pa.Table:
-        keep = set(t.filter(pc.equal(t["_side"], 1))["doc_id"].to_pylist())
+        keep = t.filter(pc.equal(t["_side"], 1))["doc_id"]
         left = t.filter(pc.equal(t["_side"], 0))
-        mask = np.fromiter((int(d) in keep
-                            for d in left["doc_id"].to_pylist()),
-                           dtype=bool, count=left.num_rows)
-        return left.filter(pa.array(mask)).drop_columns(["_side"])
+        mask = pc.is_in(left["doc_id"],
+                        value_set=keep.combine_chunks()
+                        if isinstance(keep, pa.ChunkedArray) else keep)
+        return left.filter(mask).drop_columns(["_side"])
 
     return bucketed_groupby(u, "doc_id", resolve, num_buckets=num_buckets,
                             batch_format="pyarrow")
@@ -122,12 +122,15 @@ def _semijoin_docs(docs: ray.data.Dataset, keep_ids: ray.data.Dataset, *,
 
 def write_curated(ds: ray.data.Dataset, out_dir: str) -> dict:
     """Partitioned output: one directory per split (resumable-output
-    shape). Returns per-split row counts."""
+    shape). Returns per-split row counts. The curated dataset is pinned
+    ONCE — without it each split's write and count would re-execute the
+    whole (near-dedup-sized) pipeline."""
+    ds = ds.materialize()
     counts: dict[str, int] = {}
     for part in ["train", "test"]:
         sub = ds.map_batches(
             lambda t, p=part: t.filter(pc.equal(t["part"], p)),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
         sub.write_parquet(f"{out_dir}/part={part}")
         counts[part] = sub.count()
     return counts

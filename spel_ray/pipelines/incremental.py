@@ -55,7 +55,8 @@ def incremental_link(new_ds: ray.data.Dataset,
     Returns a LinkageResult whose ``clusters`` covers old ∪ new rows."""
     cfg = cfg or LinkageConfig()
 
-    new_records = fingerprint(new_ds, batch_size=cfg.batch_size)
+    new_records = fingerprint(new_ds, batch_size=cfg.batch_size,
+                              strip_comments=cfg.strip_comments)
     new_blocks = _tag(block_keys(new_records, cfg), True)
     old_blocks = _tag(prev_blocks, False)
     # align column order for the union (prev blocks always have a schema;

@@ -73,9 +73,13 @@ def _shard_complete(sdir: Path, cfg_fp: str, files: list[str]) -> bool:
 
 def sharded_block_rows(path: str, cfg: LinkageConfig, ckpt_root: str, *,
                        num_shards: int | None = None,
-                       carriers_ref=None) -> ray.data.Dataset:
+                       carriers_factory=None) -> ray.data.Dataset:
     """Phase A with per-shard resume: returns the union of all shards'
-    block rows (read back from the committed parquet)."""
+    block rows (read back from the committed parquet).
+
+    ``carriers_factory``: zero-arg callable producing the band-carrier
+    broadcast ref — invoked LAZILY on the first incomplete shard, so a
+    resume of a fully-complete run never pays the election's corpus pass."""
     files = _input_files(path)
     if num_shards is None:
         num_shards = min(16, len(files))
@@ -84,6 +88,8 @@ def sharded_block_rows(path: str, cfg: LinkageConfig, ckpt_root: str, *,
     root.mkdir(parents=True, exist_ok=True)
     cfg_fp = cfg.fingerprint()
 
+    carriers_ref = None
+    elected = False
     data_dirs: list[str] = []
     for s, group in enumerate(groups):
         if not group:
@@ -93,6 +99,9 @@ def sharded_block_rows(path: str, cfg: LinkageConfig, ckpt_root: str, *,
         if _shard_complete(sdir, cfg_fp, group):
             data_dirs.append(str(data_dir))
             continue
+        if carriers_factory is not None and not elected:
+            carriers_ref = carriers_factory()
+            elected = True
         t0 = time.time()
         ds = ray.data.read_parquet(group)
         rows = block_keys(
@@ -137,20 +146,20 @@ def run_linkage_sharded(path: str, cfg: LinkageConfig | None = None, *,
                          "use run_linkage")
     ckpt = CheckpointedRun(checkpoint_dir, cfg)
 
-    carriers_ref = None
-    if cfg.suppress_dup_bands:
+    def carriers_factory():
         # global election is a slim deterministic pre-pass: re-running it on
         # resume yields the same carrier map, so shard outputs from
-        # different runs agree
+        # different runs agree; invoked lazily — only when a shard actually
+        # needs computing (a fully-complete resume skips the corpus pass)
         recs = fingerprint(ray.data.read_parquet(_input_files(path)),
                            batch_size=cfg.batch_size,
                            strip_comments=cfg.strip_comments)
-        carriers_ref = elect_band_carriers(recs, cfg,
-                                           num_buckets=max(8, num_buckets // 2))
+        return elect_band_carriers(recs, cfg,
+                                   num_buckets=max(8, num_buckets // 2))
 
-    blocks = sharded_block_rows(path, cfg, checkpoint_dir,
-                                num_shards=num_shards,
-                                carriers_ref=carriers_ref)
+    blocks = sharded_block_rows(
+        path, cfg, checkpoint_dir, num_shards=num_shards,
+        carriers_factory=carriers_factory if cfg.suppress_dup_bands else None)
     pairs = ckpt.run_stage("pairs", lambda: scored_candidate_pairs(
         blocks, cfg, num_buckets=num_buckets))
     edges = ckpt.run_stage("edges", lambda: edges_from_pairs(pairs, cfg))

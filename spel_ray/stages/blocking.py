@@ -80,8 +80,20 @@ def _lang_salts(langs: pa.ChunkedArray | pa.Array) -> np.ndarray:
          for s in uniq], dtype=np.uint64)
     if len(salts) == 0:
         return np.zeros(len(langs), dtype=np.uint64)
-    codes = np.asarray(d.indices, dtype=np.int64)
-    return salts[codes]
+    # null langs → salt 0 (a null dictionary index casts to garbage int64)
+    codes = np.asarray(d.indices.fill_null(-1), dtype=np.int64)
+    out = np.zeros(len(codes), dtype=np.uint64)
+    valid = codes >= 0
+    out[valid] = salts[codes[valid]]
+    return out
+
+
+def _carrier_keys_from(sha8: np.ndarray, lang_salt: np.ndarray) -> np.ndarray:
+    """The ONE carrier-key hash, shared by election and the exploder —
+    any drift between the two would silently disable suppression."""
+    k = (sha8 ^ lang_salt) * _MIX
+    k ^= k >> np.uint64(29)
+    return (k & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
 
 
 def carrier_keys(langs, shas) -> np.ndarray:
@@ -93,9 +105,7 @@ def carrier_keys(langs, shas) -> np.ndarray:
     lang-specific exact key while its bands were suppressed)."""
     nibs = _sha_nibbles(shas)
     sha8 = _sha8_u64(_sha16_bytes(nibs))
-    k = (sha8 ^ _lang_salts(langs)) * _MIX
-    k ^= k >> np.uint64(29)
-    return (k & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+    return _carrier_keys_from(sha8, _lang_salts(langs))
 
 
 class BlockKeyExploder:
@@ -155,9 +165,7 @@ class BlockKeyExploder:
         # under any batching.
         if self.carriers:
             row_ids = np.asarray(batch["row_id"], dtype=np.int64)
-            ckeys = (((sha8 ^ lang_salt) * _MIX) ^
-                     (((sha8 ^ lang_salt) * _MIX) >> np.uint64(29)))
-            ckeys = (ckeys & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+            ckeys = _carrier_keys_from(sha8, lang_salt)
             carriers = self.carriers
             is_carrier = np.fromiter(
                 (carriers.get(int(k), r) == r

@@ -68,9 +68,17 @@ def strip_code_comments(content: pa.ChunkedArray | pa.Array,
     uniq = d.dictionary.to_pylist()
     if not any((u or "") in _LINE_COMMENT for u in uniq):
         return content
-    codes = np.asarray(d.indices, dtype=np.int64)
+    # null langs: fill the index with a sentinel so they take the untouched
+    # path (a null dictionary index would otherwise cast to garbage int64)
+    codes = np.asarray(d.indices.fill_null(-1), dtype=np.int64)
     parts: list[pa.Array] = []
     order: list[np.ndarray] = []
+    null_idx = np.flatnonzero(codes == -1)
+    if len(null_idx):
+        sub = content.take(pa.array(null_idx))
+        parts.append(sub.combine_chunks()
+                     if isinstance(sub, pa.ChunkedArray) else sub)
+        order.append(null_idx)
     for code, lang in enumerate(uniq):
         idx = np.flatnonzero(codes == code)
         if len(idx) == 0:
@@ -93,17 +101,23 @@ def strip_code_comments(content: pa.ChunkedArray | pa.Array,
     return cat.take(pa.array(inv))
 
 
-def row_id_batch(batch: pa.Table) -> pa.Table:
-    """(repo, path, commit) → row_id only — the slim id pass for consumers
-    (cluster assignment) that never need content, sha, or normalization."""
-    repo = batch["repo"].to_pylist()
-    path = batch["path"].to_pylist()
-    commit = batch["commit"].to_pylist()
+def _row_ids_np(repo: list, path: list, commit: list) -> np.ndarray:
+    """THE row-id derivation (one definition — pair generation and cluster
+    assignment must agree or every record silently becomes a singleton)."""
     row_ids = np.empty(len(repo), dtype=np.int64)
     for i, (r, p, c) in enumerate(zip(repo, path, commit)):
         key = f"{r}\x00{p}\x00{c}".encode()
         row_ids[i] = int.from_bytes(
             hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    return row_ids
+
+
+def row_id_batch(batch: pa.Table) -> pa.Table:
+    """(repo, path, commit) → row_id only — the slim id pass for consumers
+    (cluster assignment) that never need content, sha, or normalization."""
+    row_ids = _row_ids_np(batch["repo"].to_pylist(),
+                          batch["path"].to_pylist(),
+                          batch["commit"].to_pylist())
     return pa.table({"row_id": pa.array(row_ids, pa.int64())})
 
 
@@ -122,17 +136,12 @@ def fingerprint_batch(batch: pa.Table, *, strip_comments: bool = True) -> pa.Tab
     ``norm_content`` (the shingling view) is comment-stripped per lang when
     ``strip_comments`` — sha256 and n_chars stay over the RAW content (the
     per-row invariant is untouched)."""
-    repo = batch["repo"].to_pylist()
-    path = batch["path"].to_pylist()
-    commit = batch["commit"].to_pylist()
     content = batch["content"].to_pylist()
-
-    row_ids = np.empty(len(repo), dtype=np.int64)
-    shas = []
-    for i, (r, p, c, body) in enumerate(zip(repo, path, commit, content)):
-        key = f"{r}\x00{p}\x00{c}".encode()
-        row_ids[i] = int.from_bytes(hashlib.sha256(key).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
-        shas.append(hashlib.sha256((body or "").encode()).hexdigest())
+    row_ids = _row_ids_np(batch["repo"].to_pylist(),
+                          batch["path"].to_pylist(),
+                          batch["commit"].to_pylist())
+    shas = [hashlib.sha256((body or "").encode()).hexdigest()
+            for body in content]
 
     view = batch["content"]
     if strip_comments and "lang" in batch.column_names:
