@@ -111,6 +111,44 @@ def run_linkage(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
                          clusters=clusters)
 
 
+def cluster_report(res: LinkageResult, *, num_buckets: int = 16,
+                   top_n: int = 10) -> dict:
+    """Cluster-level observability (≙ the reference's metric bundles A5):
+    size distribution, singleton fraction, largest clusters. One bucketed
+    count pass over the slim (row_id, cluster_id) table; the histogram is
+    tiny and finalizes on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", sort=False).size().rename("size")
+        return g.reset_index()
+
+    per_cluster = bucketed_groupby(
+        res.clusters.map_batches(
+            lambda t: pa.table({"cluster_id": t["cluster_id"]}),
+            batch_format="pyarrow"),
+        "cluster_id", sizes, num_buckets=num_buckets).to_pandas()
+    if per_cluster.empty:
+        return {"n_records": 0, "n_clusters": 0, "singleton_fraction": 0.0,
+                "size_histogram": {}, "largest": []}
+    hist = per_cluster["size"].value_counts().sort_index()
+    largest = per_cluster.sort_values(["size", "cluster_id"],
+                                      ascending=[False, True]).head(top_n)
+    n_clusters = len(per_cluster)
+    return {
+        "n_records": int(per_cluster["size"].sum()),
+        "n_clusters": n_clusters,
+        "singleton_fraction": round(
+            float((per_cluster["size"] == 1).mean()), 5),
+        "size_histogram": {int(k): int(v) for k, v in hist.items()},
+        "largest": [{"cluster_id": int(r.cluster_id), "size": int(r.size)}
+                    for r in largest.itertuples(index=False)],
+    }
+
+
 def linkage_stats(res: LinkageResult, cfg: LinkageConfig | None = None) -> dict:
     """Observability over a finished run — most importantly the skew cap:
     how many merged pairs came only from capped (hot) blocks, so a capped

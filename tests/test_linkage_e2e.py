@@ -107,3 +107,14 @@ def test_exact_duplicates_always_cluster(small_code_table, linkage_result):
     for rids in dup[dup.str.len() >= 2]:
         labels = {lab[r] for r in rids}
         assert len(labels) == 1
+
+
+def test_cluster_report(linkage_result):
+    from spel_ray.pipelines.linkage import cluster_report
+
+    rep = cluster_report(linkage_result, num_buckets=4)
+    assert rep["n_records"] == sum(
+        k * v for k, v in rep["size_histogram"].items())
+    assert rep["n_clusters"] == sum(rep["size_histogram"].values())
+    assert 0.0 <= rep["singleton_fraction"] <= 1.0
+    assert rep["largest"] and rep["largest"][0]["size"] >= 1
