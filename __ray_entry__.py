@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": dq.q_token_counts,
         "doc_lengths": dq.q_doc_lengths,
         "lang_distribution": dq.q_lang_distribution,
+        "stratified_sample": dq.q_stratified_sample,
         "token_vocab": dq.q_token_vocab,
         "line_stats": dq.q_line_stats,
         "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
@@ -250,6 +251,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents
             GROUP BY text
+            ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 50
             ORDER BY doc_id
         """,
         "token_vocab": """

@@ -120,6 +120,52 @@ def _semijoin_docs(docs: ray.data.Dataset, keep_ids: ray.data.Dataset, *,
                             batch_format="pyarrow")
 
 
+def stratified_sample(ds: ray.data.Dataset, *, per_group: int,
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """Deterministic per-group sample: the first ``per_group`` rows of each
+    group ordered by a multiplicative hash of the id (then id) — balanced
+    sampling for skewed corpora WITHOUT an RNG, so the sample is identical
+    across engines, runs and parallelism levels (≙ K4 sampling, recast the
+    reproducible way; SQL-oracle-able as a windowed row_number).
+
+    Per-batch combiner first: each batch keeps at most per_group rows per
+    group before the shuffle, so the exchange moves O(groups × per_group ×
+    batches) rows, never the corpus."""
+    def rank_cols(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64).view(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return batch.append_column("_rk", pa.array(h.view(np.int64),
+                                                   pa.int64()))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values([group_col, "_rk", id_col])
+        return pa.Table.from_pandas(df.groupby(group_col).head(per_group),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    def add_gh(batch: pa.Table) -> pa.Table:
+        # group key must be a cross-process-stable int for the bucketed
+        # shuffle: crc32 of the group value
+        from zlib import crc32
+        gh = np.fromiter(
+            (crc32((g or "").encode()) for g in batch[group_col].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return batch.append_column("_gh", pa.array(gh, pa.int64()))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "_rk", id_col])
+        return df.groupby(group_col).head(per_group) \
+                 .drop(columns=["_gh", "_rk"])
+
+    pre = ds.map_batches(rank_cols, batch_format="pyarrow") \
+            .map_batches(local_topk, batch_format="pyarrow") \
+            .map_batches(add_gh, batch_format="pyarrow")
+    return bucketed_groupby(pre, "_gh", final_topk, num_buckets=num_buckets)
+
+
 def write_curated(ds: ray.data.Dataset, out_dir: str) -> dict:
     """Partitioned output: one directory per split (resumable-output
     shape). Returns per-split row counts. The curated dataset is pinned

@@ -89,6 +89,18 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-lang sample (50 docs/lang by multiplicative-hash
+    rank) — balanced sampling for skewed corpora without an RNG, oracled
+    as a windowed row_number."""
+    from spel_ray.pipelines.curation import stratified_sample
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = stratified_sample(ds, per_group=50, group_col="lang",
+                            id_col="doc_id", num_buckets=8).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_token_vocab(sf_dir: str) -> pd.DataFrame:
     """Global top-100 tokens by frequency — the partial-aggregate-then-
     small-groupby combiner shape, DuckDB-oracled."""

@@ -56,3 +56,19 @@ def test_write_curated_partitions(tmp_path):
         assert n == counts[part]
         total += n
     assert total == 3
+
+
+def test_stratified_sample_deterministic_and_balanced():
+    from spel_ray.pipelines.curation import stratified_sample
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(100)),
+        "lang": (["en"] * 70 + ["de"] * 25 + ["fr"] * 5),
+        "text": ["x"] * 100,
+    }))
+    out = stratified_sample(ds, per_group=10, num_buckets=4).to_pandas()
+    by = out.groupby("lang").size().to_dict()
+    assert by == {"en": 10, "de": 10, "fr": 5}   # small group fully kept
+    again = stratified_sample(ds, per_group=10, num_buckets=2).to_pandas()
+    assert (out.sort_values("doc_id").reset_index(drop=True)
+              .equals(again.sort_values("doc_id").reset_index(drop=True)))
