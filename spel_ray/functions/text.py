@@ -140,7 +140,7 @@ def token_vocab(ds: ray.data.Dataset, top_k: int = 100, *,
     text for determinism."""
     from spel_ray.state.shuffle import bucketed_groupby
 
-    from zlib import crc32
+    from spel_ray.state.shuffle import stable_str_hash
 
     def partial(batch: pa.Table) -> pa.Table:
         toks: list[str] = []
@@ -152,10 +152,7 @@ def token_vocab(ds: ray.data.Dataset, top_k: int = 100, *,
                              "_h": pa.array([], pa.int64())})
         vc = pd.Series(toks).value_counts()
         tokens = vc.index.to_numpy(dtype=object)
-        # bucket key MUST be a cross-process-stable hash (crc32) — Python's
-        # hash() is per-process and would split one token across buckets
-        h = np.fromiter((crc32(s.encode()) for s in tokens),
-                        dtype=np.int64, count=len(tokens))
+        h = stable_str_hash(tokens)
         return pa.table({"token": pa.array(tokens.tolist(), pa.string()),
                          "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
                          "_h": pa.array(h, pa.int64())})
@@ -166,9 +163,13 @@ def token_vocab(ds: ray.data.Dataset, top_k: int = 100, *,
 
 
 def _token_vocab_finalize(parts, top_k, num_buckets, bucketed_groupby):
+    # every token lands wholly in ONE bucket (stable hash), so each
+    # bucket's sums are final — pre-prune to the bucket-local top_k and the
+    # driver merges at most num_buckets × top_k rows, never the vocabulary
     def s(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", sort=False)["n"].sum().reset_index()
-        return g
+        return g.sort_values(["n", "token"], ascending=[False, True]) \
+                .head(top_k)
     agg = bucketed_groupby(parts, "_h", lambda df: s(df.drop(columns=["_h"])),
                            num_buckets=num_buckets)
     df = agg.to_pandas()

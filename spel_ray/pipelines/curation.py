@@ -140,24 +140,21 @@ def stratified_sample(ds: ray.data.Dataset, *, per_group: int,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values([group_col, "_rk", id_col])
-        return pa.Table.from_pandas(df.groupby(group_col).head(per_group),
-                                    preserve_index=False) \
-            .replace_schema_metadata(None)
+        # dropna=False: a null group is a stratum too (pandas groupby drops
+        # NaN keys by default — the SQL oracle's PARTITION BY keeps them)
+        return pa.Table.from_pandas(
+            df.groupby(group_col, dropna=False).head(per_group),
+            preserve_index=False).replace_schema_metadata(None)
 
-    from spel_ray.state.shuffle import bucketed_groupby
+    from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
 
     def add_gh(batch: pa.Table) -> pa.Table:
-        # group key must be a cross-process-stable int for the bucketed
-        # shuffle: crc32 of the group value
-        from zlib import crc32
-        gh = np.fromiter(
-            (crc32((g or "").encode()) for g in batch[group_col].to_pylist()),
-            dtype=np.int64, count=batch.num_rows)
+        gh = stable_str_hash(batch[group_col].to_pylist())
         return batch.append_column("_gh", pa.array(gh, pa.int64()))
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([group_col, "_rk", id_col])
-        return df.groupby(group_col).head(per_group) \
+        return df.groupby(group_col, dropna=False).head(per_group) \
                  .drop(columns=["_gh", "_rk"])
 
     pre = ds.map_batches(rank_cols, batch_format="pyarrow") \

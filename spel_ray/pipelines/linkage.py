@@ -122,30 +122,45 @@ def cluster_report(res: LinkageResult, *, num_buckets: int = 16,
 
     from spel_ray.state.shuffle import bucketed_groupby
 
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("cluster_id", sort=False).size().rename("size")
-        return g.reset_index()
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        """Each cluster lives wholly in one bucket (keyed by cluster_id),
+        so the bucket can finalize: emit its (size → count) histogram plus
+        its local top_n largest — the driver merges num_buckets tiny
+        summaries, never one row per cluster (corpus-scale)."""
+        sizes = df.groupby("cluster_id", sort=False).size().rename("size") \
+                  .reset_index()
+        hist = sizes["size"].value_counts().reset_index()
+        hist.columns = ["size", "n_clusters"]
+        top = sizes.sort_values(["size", "cluster_id"],
+                                ascending=[False, True]).head(top_n)
+        hist["cluster_id"] = -1            # tag rows: histogram vs top
+        top = top.assign(n_clusters=-1)
+        return pd.concat([hist[["size", "n_clusters", "cluster_id"]],
+                          top[["size", "n_clusters", "cluster_id"]]])
 
-    per_cluster = bucketed_groupby(
+    parts = bucketed_groupby(
         res.clusters.map_batches(
             lambda t: pa.table({"cluster_id": t["cluster_id"]}),
             batch_format="pyarrow"),
-        "cluster_id", sizes, num_buckets=num_buckets).to_pandas()
-    if per_cluster.empty:
+        "cluster_id", bucket_summary, num_buckets=num_buckets).to_pandas()
+    if parts.empty:
         return {"n_records": 0, "n_clusters": 0, "singleton_fraction": 0.0,
                 "size_histogram": {}, "largest": []}
-    hist = per_cluster["size"].value_counts().sort_index()
-    largest = per_cluster.sort_values(["size", "cluster_id"],
-                                      ascending=[False, True]).head(top_n)
-    n_clusters = len(per_cluster)
+    hist_rows = parts[parts["cluster_id"] == -1]
+    hist = hist_rows.groupby("size")["n_clusters"].sum().sort_index()
+    top_rows = parts[parts["n_clusters"] == -1] \
+        .sort_values(["size", "cluster_id"], ascending=[False, True]) \
+        .head(top_n)
+    n_clusters = int(hist.sum())
+    n_records = int((hist.index.to_numpy() * hist.to_numpy()).sum())
     return {
-        "n_records": int(per_cluster["size"].sum()),
+        "n_records": n_records,
         "n_clusters": n_clusters,
         "singleton_fraction": round(
-            float((per_cluster["size"] == 1).mean()), 5),
+            float(hist.get(1, 0)) / n_clusters, 5) if n_clusters else 0.0,
         "size_histogram": {int(k): int(v) for k, v in hist.items()},
         "largest": [{"cluster_id": int(r.cluster_id), "size": int(r.size)}
-                    for r in largest.itertuples(index=False)],
+                    for r in top_rows.itertuples(index=False)],
     }
 
 

@@ -69,6 +69,18 @@ def bucketed_groupby(
         run, batch_format=batch_format)
 
 
+def stable_str_hash(values) -> np.ndarray:
+    """(n,) int64 cross-process-stable hash of a string sequence (crc32) —
+    THE bucket key for string-keyed shuffles. Python's ``hash()`` is
+    per-process (PYTHONHASHSEED) and would split one key across buckets;
+    None hashes like the empty string."""
+    from zlib import crc32
+
+    vals = list(values)
+    return np.fromiter((crc32((v or "").encode()) for v in vals),
+                       dtype=np.int64, count=len(vals))
+
+
 def pair_key(id_lo: np.ndarray, id_hi: np.ndarray) -> np.ndarray:
     """Deterministic int64 key for an id pair (for pair-level bucketing)."""
     a = id_lo.astype(np.int64).view(np.uint64) * _MIX
