@@ -83,6 +83,63 @@ def labeled_pairs_from_run(pairs: ray.data.Dataset,
     return pdf.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
+def threshold_sweep(pairs: ray.data.Dataset, truth: dict[int, int],
+                    *, n_points: int = 50) -> tuple[pd.DataFrame, dict]:
+    """Precision/recall/F1 curve over the edge-score threshold on labeled
+    candidate pairs — the engine analog of the reference's eval-driven
+    best-checkpoint selection (``model.py:253-267``): run the pipeline once
+    with a permissive threshold, sweep the operating point OFFLINE from the
+    scored pairs, pick the threshold that maximizes F1 (ties → the higher
+    threshold, favoring precision).
+
+    Recall is within the candidate-pair universe (pairs sharing a blocking
+    key) — blocking recall is a property of the sketch config, not the
+    threshold. Returns (curve, best): ``curve`` downsampled to ~n_points
+    rows of (threshold, precision, recall, f1); ``best`` evaluated over
+    every distinct score."""
+    pdf = pairs.select_columns(["id_lo", "id_hi", "score"]).to_pandas()
+    y = np.array([truth.get(a) is not None and truth.get(a) == truth.get(b)
+                  for a, b in zip(pdf["id_lo"], pdf["id_hi"])], dtype=bool)
+    s = pdf["score"].to_numpy(np.float64)
+    labeled = np.array([a in truth and b in truth
+                        for a, b in zip(pdf["id_lo"], pdf["id_hi"])],
+                       dtype=bool)
+    y, s = y[labeled], s[labeled]
+    if len(s) == 0 or not y.any():
+        empty = pd.DataFrame({"threshold": [], "precision": [],
+                              "recall": [], "f1": []})
+        return empty, {"threshold": None, "precision": 0.0,
+                       "recall": 0.0, "f1": 0.0}
+    order = np.argsort(-s, kind="stable")
+    s_sorted = s[order]
+    tp = np.cumsum(y[order])
+    fp = np.cumsum(~y[order])
+    total_pos = int(y.sum())
+    # evaluate at the LAST index of each distinct score (threshold = that
+    # score, predictions = all pairs with score >= it)
+    last = np.r_[s_sorted[1:] != s_sorted[:-1], True]
+    idx = np.flatnonzero(last)
+    prec = tp[idx] / (tp[idx] + fp[idx])
+    rec = tp[idx] / total_pos
+    f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    # best over ALL distinct scores; argmax takes the FIRST max, which in
+    # descending score order is the HIGHER threshold (precision-favoring)
+    j = int(np.argmax(f1))
+    best = {"threshold": float(s_sorted[idx[j]]),
+            "precision": float(prec[j]),
+            "recall": float(rec[j]),
+            "f1": float(f1[j])}
+    step = max(1, len(idx) // n_points)
+    sel = np.arange(0, len(idx), step)
+    curve = pd.DataFrame({
+        "threshold": s_sorted[idx][sel],
+        "precision": prec[sel],
+        "recall": rec[sel],
+        "f1": f1[sel],
+    }).reset_index(drop=True)
+    return curve, best
+
+
 def expected_clusters_table(clusters: ray.data.Dataset,
                             records: ray.data.Dataset) -> pd.DataFrame:
     """FIXTURES.md §3 ``expected_clusters`` golden-output shape:

@@ -63,3 +63,39 @@ def test_distributed_micro_aggregate_matches_driver():
     p, r, f, tp, fp, fn = out["micro_prf"]
     assert (tp, fp, fn) == (expected["tp"], expected["fp"], expected["fn"])
     assert f == pytest.approx(expected["f1"])
+
+
+def test_threshold_sweep_finds_separating_threshold():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.stages.evaluate import threshold_sweep
+
+    # matches score high (>=0.7), non-matches low (<=0.3): any threshold in
+    # the gap is perfect; ties resolve to the HIGHER threshold
+    truth = {i: i // 2 for i in range(8)}       # (0,1),(2,3),(4,5),(6,7)
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": [0, 2, 4, 6, 0, 1, 3],
+        "id_hi": [1, 3, 5, 7, 2, 3, 5],
+        "score": [0.9, 0.8, 0.7, 0.95, 0.3, 0.25, 0.1],
+    }))
+    curve, best = threshold_sweep(pairs, truth)
+    assert best["f1"] == 1.0 and best["precision"] == 1.0
+    assert best["threshold"] == 0.7             # lowest match score wins F1;
+    # tie among in-gap thresholds resolves to the highest distinct score
+    assert (curve["recall"].is_monotonic_increasing
+            or len(curve) == 1)
+
+
+def test_threshold_sweep_empty_and_unlabeled():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.stages.evaluate import threshold_sweep
+
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": [100], "id_hi": [200], "score": [0.5]}))
+    curve, best = threshold_sweep(pairs, {})    # nothing labeled
+    assert best["threshold"] is None and len(curve) == 0
