@@ -142,3 +142,52 @@ def test_align_spans_total_and_complete(seg):
     for r in out:
         if r["status"] == "match":
             assert r["correct"]
+
+
+@st.composite
+def scored_pairs(draw):
+    n = draw(st.integers(3, 60))
+    ids = list(range(2 * n))
+    rows = []
+    for i in range(n):
+        a, b = ids[2 * i], ids[2 * i + 1]
+        rows.append((a, b, draw(st.floats(0.0, 1.0, allow_nan=False))))
+    # truth: roughly half the pairs are matches
+    truth = {}
+    for i, (a, b, _) in enumerate(rows):
+        truth[a] = i
+        truth[b] = i if draw(st.booleans()) else -i - 1
+    return rows, truth
+
+
+@settings(max_examples=25, deadline=None)
+@given(scored_pairs())
+def test_threshold_sweep_best_is_optimal(sp):
+    """The sweep's best F1 must equal the brute-force maximum over every
+    candidate threshold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.stages.evaluate import threshold_sweep
+
+    rows, truth = sp
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": [r[0] for r in rows],
+        "id_hi": [r[1] for r in rows],
+        "score": [r[2] for r in rows],
+    }))
+    _, best = threshold_sweep(pairs, truth)
+    y = np.array([truth[a] == truth[b] for a, b, _ in rows])
+    s = np.array([r[2] for r in rows])
+    if not y.any():
+        assert best["threshold"] is None
+        return
+    brute = 0.0
+    for t in np.unique(s):
+        pred = s >= t
+        tp = int((pred & y).sum())
+        prec = tp / max(int(pred.sum()), 1)
+        rec = tp / int(y.sum())
+        if prec + rec:
+            brute = max(brute, 2 * prec * rec / (prec + rec))
+    assert abs(best["f1"] - brute) < 1e-12
