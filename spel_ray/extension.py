@@ -66,9 +66,15 @@ _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
 def register_scorer(name: str):
-    """Decorator: register a PairScorer factory (class or zero-arg callable)."""
+    """Decorator: register a PairScorer factory (class or zero-arg callable).
+
+    Re-registering a name drops any cached instance so the new factory takes
+    effect immediately. Note ``cfg.fingerprint()`` only captures the *name* —
+    register behavior changes under versioned names (e.g. ``myscorer-v2``)
+    or stale checkpoints will be reused."""
     def deco(factory):
         _SCORER_FACTORIES[name] = factory
+        _SCORER_CACHE.pop(name, None)
         return factory
     return deco
 

@@ -18,8 +18,62 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
 import ray.data
 from ray.data.aggregate import AggregateFn
+
+
+def _truth_arrays(truth: dict[int, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Broadcast-friendly form of a truth map: (sorted keys, labels aligned
+    to key order). Labels may be any int (negative singleton markers OK)."""
+    if not truth:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = np.fromiter(truth.keys(), dtype=np.int64, count=len(truth))
+    labs = np.fromiter(truth.values(), dtype=np.int64, count=len(truth))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], labs[order]
+
+
+def _sorted_get(keys: np.ndarray, vals: np.ndarray,
+                probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized dict.get over sorted key/value arrays: returns
+    (values, hit_mask); values are undefined (0) where hit_mask is False."""
+    if len(keys) == 0 or len(probe) == 0:
+        return (np.zeros(len(probe), vals.dtype if len(vals) else np.int64),
+                np.zeros(len(probe), bool))
+    pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[pos] == probe
+    return np.where(hit, vals[pos], 0), hit
+
+
+def _collect_labeled(ds: ray.data.Dataset, truth: dict[int, int],
+                     columns: list[str],
+                     id_cols: tuple[str, ...] = ("id_lo", "id_hi"),
+                     ) -> pd.DataFrame:
+    """Semi-join ``ds`` to the broadcast truth-id set INSIDE map_batches and
+    collect only the labeled subset on the driver (the truth set is
+    broadcast-sized; the candidate-pair table is not — reference analog: the
+    candidate-set-restricted eval scores only gold-covered units,
+    ``utils.py:530-544``). Never materializes the unfiltered table."""
+    keys, _ = _truth_arrays(truth)
+    keys_ref = ray.put(keys)
+
+    def keep_labeled(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = np.ones(batch.num_rows, bool)
+        for col in id_cols:
+            v = batch.column(col).to_numpy()
+            _, hit = _sorted_get(k, k, v.astype(np.int64, copy=False))
+            mask &= hit
+        return batch.filter(pa.array(mask))
+
+    pdf = (ds.select_columns(columns)
+             .map_batches(keep_labeled, batch_format="pyarrow")
+             .to_pandas())
+    if len(pdf) == 0:                       # empty Datasets can lose schema
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+    return pdf
 
 
 def pair_confusion(df: pd.DataFrame) -> dict:
@@ -75,11 +129,16 @@ def labeled_pairs_from_run(pairs: ray.data.Dataset,
                            truth: dict[int, int]) -> pd.DataFrame:
     """FIXTURES.md §2 ``labeled_pairs`` table: the candidate pairs (which by
     construction share ≥1 blocking key — the north_rule's pair universe)
-    labeled with ground truth: (id_lo, id_hi, block_key, is_match)."""
-    pdf = pairs.select_columns(["id_lo", "id_hi", "block_key"]).to_pandas()
-    pdf["is_match"] = [
-        truth.get(a) is not None and truth.get(a) == truth.get(b)
-        for a, b in zip(pdf["id_lo"], pdf["id_hi"])]
+    labeled with ground truth: (id_lo, id_hi, block_key, is_match).
+
+    Scale note: only the *labeled* subset (both endpoints in ``truth``) is
+    collected — the filter runs distributed (`_collect_labeled`), so the
+    driver never holds the full candidate-pair table."""
+    pdf = _collect_labeled(pairs, truth, ["id_lo", "id_hi", "block_key"])
+    keys, labs = _truth_arrays(truth)
+    lo_lab, _ = _sorted_get(keys, labs, pdf["id_lo"].to_numpy(np.int64))
+    hi_lab, _ = _sorted_get(keys, labs, pdf["id_hi"].to_numpy(np.int64))
+    pdf["is_match"] = lo_lab == hi_lab
     return pdf.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
@@ -96,15 +155,17 @@ def threshold_sweep(pairs: ray.data.Dataset, truth: dict[int, int],
     key) — blocking recall is a property of the sketch config, not the
     threshold. Returns (curve, best): ``curve`` downsampled to ~n_points
     rows of (threshold, precision, recall, f1); ``best`` evaluated over
-    every distinct score."""
-    pdf = pairs.select_columns(["id_lo", "id_hi", "score"]).to_pandas()
-    y = np.array([truth.get(a) is not None and truth.get(a) == truth.get(b)
-                  for a, b in zip(pdf["id_lo"], pdf["id_hi"])], dtype=bool)
+    every distinct score.
+
+    Scale note: the labeled-pair filter runs distributed; only the labeled
+    subset reaches the driver, where the distinct-score cumsum runs (the
+    labeled set is broadcast-sized by construction)."""
+    pdf = _collect_labeled(pairs, truth, ["id_lo", "id_hi", "score"])
+    keys, labs = _truth_arrays(truth)
+    lo_lab, _ = _sorted_get(keys, labs, pdf["id_lo"].to_numpy(np.int64))
+    hi_lab, _ = _sorted_get(keys, labs, pdf["id_hi"].to_numpy(np.int64))
+    y = lo_lab == hi_lab
     s = pdf["score"].to_numpy(np.float64)
-    labeled = np.array([a in truth and b in truth
-                        for a, b in zip(pdf["id_lo"], pdf["id_hi"])],
-                       dtype=bool)
-    y, s = y[labeled], s[labeled]
     if len(s) == 0 or not y.any():
         empty = pd.DataFrame({"threshold": [], "precision": [],
                               "recall": [], "f1": []})
@@ -121,7 +182,8 @@ def threshold_sweep(pairs: ray.data.Dataset, truth: dict[int, int],
     idx = np.flatnonzero(last)
     prec = tp[idx] / (tp[idx] + fp[idx])
     rec = tp[idx] / total_pos
-    f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    f1 = np.where(prec + rec > 0,
+                  2 * prec * rec / np.maximum(prec + rec, 1e-300), 0.0)
     # best over ALL distinct scores; argmax takes the FIRST max, which in
     # descending score order is the HIGHER threshold (precision-favoring)
     j = int(np.argmax(f1))
@@ -157,19 +219,28 @@ def evaluate_clusters(pairs: ray.data.Dataset, clusters: ray.data.Dataset,
     ``pairs``: deduped candidate pairs (id_lo, id_hi, block_key, …) — the
     labeled pair universe. ``truth``: row_id → true cluster id (ancestor),
     broadcast-sized (evaluation corpora are small; the reference's gold sets
-    are too). Returns micro + macro metrics."""
-    cl = clusters.to_pandas()
-    label = dict(zip(cl["row_id"].to_numpy(), cl["cluster_id"].to_numpy()))
+    are too). Returns micro + macro metrics.
 
-    pdf = pairs.select_columns(["id_lo", "id_hi", "block_key"]).to_pandas()
-    lo = pdf["id_lo"].to_numpy()
-    hi = pdf["id_hi"].to_numpy()
-    pdf["is_match"] = np.array(
-        [truth.get(a) is not None and truth.get(a) == truth.get(b)
-         for a, b in zip(lo, hi)], dtype=bool)
-    pdf["pred_match"] = np.array(
-        [label.get(a) is not None and label.get(a) == label.get(b)
-         for a, b in zip(lo, hi)], dtype=bool)
+    Scale note: both the pair table AND the cluster-assignment table are
+    filtered to labeled ids distributed-side; the driver only ever holds
+    O(|truth|²-bounded labeled pairs + |truth| cluster rows)."""
+    cl = _collect_labeled(clusters, truth, ["row_id", "cluster_id"],
+                          id_cols=("row_id",))
+    lkeys = cl["row_id"].to_numpy(np.int64)
+    lvals = cl["cluster_id"].to_numpy(np.int64)
+    lorder = np.argsort(lkeys, kind="stable")
+    lkeys, lvals = lkeys[lorder], lvals[lorder]
+
+    pdf = _collect_labeled(pairs, truth, ["id_lo", "id_hi", "block_key"])
+    lo = pdf["id_lo"].to_numpy(np.int64)
+    hi = pdf["id_hi"].to_numpy(np.int64)
+    keys, labs = _truth_arrays(truth)
+    lo_lab, _ = _sorted_get(keys, labs, lo)
+    hi_lab, _ = _sorted_get(keys, labs, hi)
+    pdf["is_match"] = lo_lab == hi_lab
+    lo_cl, lo_hit = _sorted_get(lkeys, lvals, lo)
+    hi_cl, hi_hit = _sorted_get(lkeys, lvals, hi)
+    pdf["pred_match"] = lo_hit & hi_hit & (lo_cl == hi_cl)
 
     out = micro_pairwise_f1(pdf)
     out.update(macro_pairwise_f1(pdf))

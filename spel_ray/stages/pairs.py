@@ -183,9 +183,14 @@ def mine_hard_negatives(pairs: ray.data.Dataset, cfg: LinkageConfig,
     miner ``model.py:126-158``: per-batch top-k → global top-k). These are
     the pairs a threshold-calibration or training loop wants to look at.
 
-    Two-stage: a vectorized per-batch partial top-n (argpartition) keeps at
-    most n rows per block, then one tiny global sort-limit — the full pair
-    set is never globally sorted."""
+    Two-stage: a vectorized per-batch partial top-n (lexsort-truncate) keeps
+    at most n rows per block, then one tiny global sort-limit — the full
+    pair set is never globally sorted.
+
+    Determinism: sketch-blend scores are heavily quantized (MinHash
+    agreement is k/num_perm), so ties at the cutoff are common; both stages
+    break ties lexicographically on (id_lo, id_hi) so the selected set is
+    independent of partitioning/parallelism (ADVICE r2 #1)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -199,12 +204,15 @@ def mine_hard_negatives(pairs: ray.data.Dataset, cfg: LinkageConfig,
         t = batch.filter(keep).select(["id_lo", "id_hi", "score"])
         if t.num_rows > n:
             s = np.asarray(t["score"])
-            idx = np.argpartition(-s, n - 1)[:n]
+            lo = np.asarray(t["id_lo"])
+            hi = np.asarray(t["id_hi"])
+            idx = np.lexsort((hi, lo, -s))[:n]     # score desc, ids asc
             t = t.take(pa.array(np.sort(idx)))
         return t
 
     parts = pairs.map_batches(partial, batch_format="pyarrow")
-    return parts.sort("score", descending=True).limit(n)
+    return (parts.sort(["score", "id_lo", "id_hi"],
+                       descending=[True, False, False]).limit(n))
 
 
 def scored_candidate_pairs(block_rows: ray.data.Dataset, cfg: LinkageConfig,

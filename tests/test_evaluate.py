@@ -99,3 +99,40 @@ def test_threshold_sweep_empty_and_unlabeled():
         "id_lo": [100], "id_hi": [200], "score": [0.5]}))
     curve, best = threshold_sweep(pairs, {})    # nothing labeled
     assert best["threshold"] is None and len(curve) == 0
+
+
+def test_eval_collects_only_labeled_pairs():
+    """Scale gate (VERDICT r2 #1): the driver-side frame must hold exactly
+    the labeled-pair count — pairs with any unlabeled endpoint never reach
+    the driver — and partial truth must not change metrics on the labeled
+    subset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.stages.evaluate import (
+        evaluate_clusters, labeled_pairs_from_run)
+
+    # 10 candidate pairs; truth labels only ids 0..3 → 2 labeled pairs
+    pairs = rd.from_arrow(pa.table({
+        "id_lo": [0, 2, 0, 4, 5, 6, 7, 8, 4, 6],
+        "id_hi": [1, 3, 9, 5, 6, 7, 8, 9, 8, 9],
+        "block_key": [1] * 10,
+        "score": [0.9] * 10,
+    })).repartition(3)
+    truth = {0: 0, 1: 0, 2: 1, 3: 2}
+
+    lp = labeled_pairs_from_run(pairs, truth)
+    assert len(lp) == 2                       # NOT the candidate-pair count
+    assert set(zip(lp["id_lo"], lp["id_hi"])) == {(0, 1), (2, 3)}
+    assert list(lp["is_match"]) == [True, False]
+
+    clusters = rd.from_arrow(pa.table({
+        "row_id": list(range(10)),
+        "cluster_id": [0, 0, 2, 3] + [5] * 6,   # ids 4..9 all co-clustered
+    }))
+    m = evaluate_clusters(pairs, clusters, truth)
+    # only (0,1) and (2,3) are scored: tp=1 fp=0 fn=0 tn=1 — the 6 unlabeled
+    # predicted-match pairs are out of scope, not false positives
+    assert m["n_pairs"] == 2
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 0, 0, 1)
+    assert m["f1"] == 1.0

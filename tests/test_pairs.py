@@ -99,3 +99,31 @@ def test_mine_hard_negatives_ranks_near_misses():
     # 0.9 is an accepted edge, 1.0 is exact; hardest negatives are .41, .40
     assert list(out["id_lo"]) == [2, 3]
     assert list(out["score"]) == [0.41, 0.40]
+
+
+def test_mine_hard_negatives_tie_break_is_partition_invariant():
+    """ADVICE r2 #1: at a quantized-score tie the selected set must be the
+    lexicographically-first pairs, independent of partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.stages.pairs import mine_hard_negatives
+
+    cfg = LinkageConfig()
+    n_rows = 40
+    base = pa.table({
+        "id_lo": list(range(n_rows)),
+        "id_hi": [i + 100 for i in range(n_rows)],
+        "block_key": [0] * n_rows,
+        "jac": [0.4] * n_rows,
+        "exact": [False] * n_rows,
+        "score": [0.4] * n_rows,            # everything tied
+        "capped": [False] * n_rows,
+    })
+    outs = []
+    for parts in (1, 3, 7):
+        ds = rd.from_arrow(base).repartition(parts)
+        out = mine_hard_negatives(ds, cfg, n=5).to_pandas()
+        outs.append(list(zip(out["id_lo"], out["id_hi"])))
+    assert outs[0] == outs[1] == outs[2] == [(i, i + 100) for i in range(5)]
