@@ -19,6 +19,14 @@ from typing import Any
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# 257^j mod 2^64 and mod (2^61-1) — inline power tables for the
+# rolling-fingerprint oracle (hoisted into a CTE so DuckDB materializes
+# each list once, not per lambda evaluation)
+_POW64_SQL = "[" + ", ".join(
+    f"{pow(257, j, 1 << 64)}::HUGEINT" for j in range(32)) + "]"
+_POWP_SQL = "[" + ", ".join(
+    f"{pow(257, j, (1 << 61) - 1)}::HUGEINT" for j in range(32)) + "]"
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: near-dup clustering of documents."""
@@ -63,9 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocab": dq.q_token_vocab,
         "line_stats": dq.q_line_stats,
         "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
-        "langid": dq.q_langid,                       # rows-only
-        "quality": dq.q_quality,                     # rows-only
-        "doc_fingerprints": dq.q_doc_fingerprints,   # rows-only
+        "langid": dq.q_langid,
+        "quality": dq.q_quality,
+        "doc_fingerprints": dq.q_doc_fingerprints,
         "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
         "ngram_distinct_counts": dq.q_ngram_distinct_counts,
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
@@ -82,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": dq.q_ann_topk,
         "ann_topk_lsh": dq.q_ann_topk_lsh,           # rows-only (approximate)
         "ann_topk_ivf": dq.q_ann_topk_ivf,           # rows-only (approximate)
+        "ann_recall_lsh": dq.q_ann_recall_lsh,       # recall gate vs ann_topk
+        "ann_recall_ivf": dq.q_ann_recall_ivf,       # recall gate vs ann_topk
         "embedding_neardup": dq.q_embedding_neardup,
     }
 
@@ -311,6 +321,104 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             ORDER BY id_lo, id_hi
+        """,
+        "langid": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(
+                         lower(substr(text, 1, 2000)), '\\w+')) AS toks,
+                     length(regexp_replace(substr(text, 1, 400),
+                                           '[^一-鿿]', '', 'g')) AS n_cjk,
+                     length(text) AS n
+              FROM documents
+            ), v AS (
+              SELECT doc_id, n, n_cjk, toks,
+                len(list_intersect(toks, ['der','die','und','das','ist',
+                    'von','mit','den','ein','zu'])) AS v_de,
+                len(list_intersect(toks, ['the','and','of','to','a','in',
+                    'is','it','that','for'])) AS v_en,
+                len(list_intersect(toks, ['el','la','de','que','y','en',
+                    'un','es','los','por'])) AS v_es,
+                len(list_intersect(toks, ['le','la','de','et','un','est',
+                    'les','des','en','que'])) AS v_fr
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN n = 0 THEN 'und'
+                   WHEN n_cjk > 0.05 * least(n, 400) THEN 'zh'
+                   WHEN len(toks) = 0 THEN 'und'
+                   WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                   WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr
+                        THEN 'de'
+                   WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+                   WHEN v_es >= v_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+            FROM v ORDER BY doc_id
+        """,
+        "quality": """
+            WITH t AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
+                len(regexp_extract_all(text, '\\w+')) AS n_words,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:a|and|for|in|is|it|of|that|the|to)\\b')) AS n_stop,
+                length(text) AS n_len,
+                length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  - (length(text) - length(replace(text, '_', '')))
+                  AS n_alpha
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens_bpe, n_tokens_ws,
+                CASE WHEN n_words > 0
+                     THEN CAST(n_stop AS DOUBLE) / n_words
+                     ELSE 0.0 END AS stop_ratio,
+                CASE WHEN n_len > 0
+                     THEN 1.0 - CAST(n_alpha AS DOUBLE) / n_len
+                     ELSE 0.0 END AS punct_ratio
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+                   stop_ratio, punct_ratio,
+                   least(greatest(ln(1.0 + n_tokens_ws) / ln(200.0),
+                                  0.0), 1.0) * 0.4
+                   + least(greatest(stop_ratio * 4.0, 0.0), 1.0) * 0.3
+                   + least(greatest(1.0 - punct_ratio * 2.5, 0.0), 1.0) * 0.3
+                       AS quality
+            FROM r ORDER BY doc_id
+        """,
+        "doc_fingerprints": f"""
+            WITH pw AS (SELECT {_POW64_SQL} AS p64, {_POWP_SQL} AS pp),
+            d AS (
+              SELECT doc_id, length(text) AS n,
+                     list_transform(generate_series(1, length(text)),
+                                    i -> ascii(text[i:i])::HUGEINT) AS b,
+                     p64, pp
+              FROM documents, pw
+            ), h AS (
+              SELECT doc_id,
+                CASE
+                  WHEN n = 0 THEN 0::HUGEINT
+                  WHEN n <= 32 THEN
+                    list_sum(list_transform(generate_series(1, n),
+                      i -> (b[i] * pp[n - i + 1])
+                           % 2305843009213693951::HUGEINT))
+                    % 2305843009213693951::HUGEINT
+                  ELSE
+                    list_min(list_transform(generate_series(1, n - 31), s ->
+                      list_sum(list_transform(generate_series(0, 31),
+                        j -> (b[s + j] * p64[j + 1])
+                             % 18446744073709551616::HUGEINT))
+                      % 18446744073709551616::HUGEINT))
+                END AS hv
+              FROM d
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                        THEN hv - 18446744073709551616::HUGEINT
+                        ELSE hv END AS BIGINT) AS doc_fingerprint
+            FROM h ORDER BY doc_id
         """,
         "doc_shingle_fingerprint": """
             SELECT doc_id,

@@ -11,6 +11,7 @@ knowledge, à la Cavnar-Trenkle n-gram LID) — deliberately dependency-free.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -94,8 +95,14 @@ class TextAnalyzer:
 
         pred = np.array([detect_lang(t) for t in s.tolist()], dtype=object)
 
+        # length factor via scalar math.log over the (few) unique counts:
+        # bit-identical to DuckDB's ln() (same libm), unlike numpy's SIMD
+        # log/log1p, so the SQL oracle reproduces `quality` exactly with no
+        # rounding step (and no banker's-vs-half-up ambiguity)
+        uniq, inv = np.unique(n_tokens_ws, return_inverse=True)
+        logs = np.array([math.log(1.0 + float(u)) for u in uniq])[inv]
         quality = (
-            np.clip(np.log1p(n_tokens_ws) / np.log(200.0), 0, 1) * 0.4
+            np.clip(logs / math.log(200.0), 0, 1) * 0.4
             + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
             + np.clip(1.0 - punct_ratio * 2.5, 0, 1) * 0.3
         )

@@ -79,3 +79,21 @@ def test_lsh_recall():
     merged = approx.merge(exact, on=["query_id", "vec_id"],
                           suffixes=("_a", "_e"))
     assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_ann_recall_gates():
+    """Quantitative gate (VERDICT r2 'next round' #3): at the driver's
+    production parameters, both approximate paths must reach recall@10
+    ≥ 0.9 vs the oracled brute force on the driver's own test corpus.
+    Everything is deterministic (fixed seeds + fixed parquet), so the
+    bounds are stable, not flaky."""
+    import spel_ray.pipelines.driver_queries as dq
+    from spel_ray.functions.similarity import ann_recall
+
+    sf = "/root/testdata/sf0.01"
+    exact = dq.q_ann_topk(sf)
+    lsh = ann_recall(dq.q_ann_topk_lsh(sf), exact, k=10)
+    ivf = ann_recall(dq.q_ann_topk_ivf(sf), exact, k=10)
+    assert lsh["recall"].min() >= 0.9, lsh
+    assert ivf["recall"].min() >= 0.9, ivf
+    assert lsh["recall"].mean() >= 0.95
