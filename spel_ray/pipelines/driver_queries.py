@@ -61,11 +61,12 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
                   .rename("n_docs").reset_index()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-            .groupby("lang").map_groups(
-                lambda df: pd.DataFrame({"lang": [df["lang"].iloc[0]],
-                                         "n_docs": [int(df["n_docs"].sum())]}),
-                batch_format="pandas")
+    from spel_ray.state.shuffle import finalize_partials
+
+    out = finalize_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        lambda df: df.groupby("lang", sort=False)["n_docs"].sum()
+                     .reset_index())
     return out.to_pandas().sort_values("lang").reset_index(drop=True)
 
 
@@ -508,14 +509,17 @@ def q_sliding_window(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start_step"]).map_groups(
-            lambda df: pd.DataFrame({
-                "event_type": [df["event_type"].iloc[0]],
-                "window_start_step": [int(df["window_start_step"].iloc[0])],
-                "total_value": [round(df["total_value"].sum(), 2)],
-                "n_events": [int(df["n_events"].sum())],
-            }), batch_format="pandas")
+    from spel_ray.state.shuffle import finalize_partials
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_start_step"], sort=False).agg(
+            total_value=("total_value", "sum"),
+            n_events=("n_events", "sum")).reset_index()
+        g["total_value"] = g["total_value"].round(2)
+        return g
+
+    out = finalize_partials(ds.map_batches(explode, batch_format="pyarrow"),
+                            ["event_type", "window_start_step"], final)
     return out.to_pandas().sort_values(
         ["event_type", "window_start_step"]).reset_index(drop=True)
 
@@ -535,13 +539,20 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
             sum_norm=("s", "sum"), n_vecs=("n", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("label").map_groups(
-            lambda df: pd.DataFrame({
-                "label": [int(df["label"].iloc[0])],
-                "mean_norm": [round(df["sum_norm"].sum() / df["n_vecs"].sum(), 5)],
-                "n_vecs": [int(df["n_vecs"].sum())],
-            }), batch_format="pandas")
+    from spel_ray.state.shuffle import finalize_partials
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", sort=False).agg(
+            sum_norm=("sum_norm", "sum"), n_vecs=("n_vecs", "sum")
+        ).reset_index()
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "mean_norm": (g["sum_norm"] / g["n_vecs"]).round(5),
+            "n_vecs": g["n_vecs"].astype("int64"),
+        })
+
+    out = finalize_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["label"], final)
     return out.to_pandas().sort_values("label").reset_index(drop=True)
 
 

