@@ -3,8 +3,11 @@
 Headline: the flagship linkage pipeline (blocking → pairwise scoring →
 transitive clustering) over the deterministic synthetic code table
 (FIXTURES.md 'bench' size, cached as Parquet so generation never lands in the
-timed region). Reported value is wall seconds; ``pairs_per_sec`` is the
-north_rule throughput metric (scored candidate pairs / headline seconds).
+timed region). Every reported time is the MEDIAN of ``GRAFT_BENCH_REPS``
+(default 3) interleaved repetitions, with per-query [min, max] spread
+alongside (VERDICT r2 #7 — single runs could not distinguish micro-query
+drift from real regressions); ``pairs_per_sec`` is the north_rule throughput
+metric (scored candidate pairs / median headline seconds).
 
 Also times a representative slice of the relational/operator queries over
 ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
@@ -58,26 +61,44 @@ def run_bench() -> dict:
 
     num_buckets = max(32, NUM_CPUS * 2)
     blocks = NUM_CPUS * 3
-    t0 = time.time()
-    res = run_linkage(read_code_table(path, override_num_blocks=blocks),
-                      LinkageConfig(), num_buckets=num_buckets)
-    n_pairs = res.pairs.count()
-    out_dir = f"/tmp/spel_ray_bench/clusters_{NUM_CPUS}"
-    res.clusters.write_parquet(out_dir)
-    headline = time.time() - t0
-    skew = linkage_stats(res)
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
 
-    queries: dict[str, float] = {"linkage_bench": round(headline, 3)}
+    import shutil
+    import statistics
 
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
-    for name in ["lineitem_agg", "orders_customer_join", "events_window",
-                 "top_orders", "exact_dedup_docs", "minhash_dedup_docs",
-                 "ann_topk", "sessionize", "curation_basic",
-                 "align_segmentations"]:
+    micro = ["lineitem_agg", "orders_customer_join", "events_window",
+             "top_orders", "exact_dedup_docs", "minhash_dedup_docs",
+             "ann_topk", "sessionize", "curation_basic",
+             "align_segmentations"]
+
+    # INTERLEAVED repetitions (VERDICT r2 'next round' #7): rep r times the
+    # headline then every micro query, so a transient slowdown hits one rep
+    # of everything instead of all reps of one query; medians absorb it.
+    times: dict[str, list] = {"linkage_bench": []}
+    skew = {}
+    n_pairs = 0
+    for rep in range(reps):
+        out_dir = f"/tmp/spel_ray_bench/clusters_{NUM_CPUS}_{rep}"
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        qs[name](SF_DIR)
-        queries[name] = round(time.time() - t0, 3)
+        res = run_linkage(read_code_table(path, override_num_blocks=blocks),
+                          LinkageConfig(), num_buckets=num_buckets)
+        n_pairs = res.pairs.count()
+        res.clusters.write_parquet(out_dir)
+        times["linkage_bench"].append(time.time() - t0)
+        if rep == reps - 1:
+            skew = linkage_stats(res)
+        for name in micro:
+            t0 = time.time()
+            qs[name](SF_DIR)
+            times.setdefault(name, []).append(time.time() - t0)
+
+    queries = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    spread = {n: [round(min(ts), 3), round(max(ts), 3)]
+              for n, ts in times.items()}
+    headline = statistics.median(times["linkage_bench"])
 
     ray.shutdown()
     return {
@@ -85,6 +106,8 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        "query_spread_min_max": spread,
+        "reps": reps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_rows": BENCH_ROWS,
@@ -133,7 +156,10 @@ def run_scaling() -> dict:
     n_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # one headline rep per process: the scaling median already comes
+        # from the interleaved pair rounds themselves
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout

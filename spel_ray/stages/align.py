@@ -168,6 +168,61 @@ def align_gold_pred(gold: ray.data.Dataset, pred: ray.data.Dataset, *,
     return bucketed_groupby(u, "_doc", resolve, num_buckets=num_buckets)
 
 
+def subword_word_alignment(pieces: list[str], words: list[str], *,
+                           max_grow: int = 1000,
+                           lookahead: int = 5) -> list[tuple[int, int]]:
+    """M5: two-pointer subword↔word alignment with bounded-lookahead drift
+    repair (reference ``utils.py:81-113``).
+
+    Walks the subword ``pieces`` growing a span ``[start, end)`` until its
+    joined text equals the current word; when a span grows past
+    ``max_grow`` pieces without matching (tokenizer drift — typically one
+    piece straddling a word boundary), the repair tries windows of
+    ``2..2+lookahead-1`` pieces against the next TWO words joined,
+    whitespace-insensitively, and on a hit splits the window 1 piece /
+    rest between the two words — exactly the reference's recovery. Returns
+    one ``(start, end)`` piece span per word; raises ``ValueError`` when
+    even the repair cannot resynchronize (the reference would spin
+    forever — a data-scale engine surfaces the record instead)."""
+    def _join(ps: list[str]) -> str:
+        return "".join(ps).strip()
+
+    mapping: list[tuple[int, int]] = []
+    start = end = 0
+    wp = 0
+    while len(mapping) != len(words):
+        cur = _join(pieces[start:end])
+        if cur == words[wp]:
+            mapping.append((start, end))
+            wp += 1
+            start = end
+            continue
+        end += 1
+        if end - start <= max_grow and end <= len(pieces):
+            continue
+        # bounded-lookahead repair: one piece belongs to word wp, the next
+        # 1+i pieces to word wp+1 (whitespace-insensitive comparison)
+        if wp + 1 >= len(words):
+            raise ValueError(
+                f"alignment drift at word {wp} ({words[wp]!r}) with no "
+                f"following word to repair against")
+        target = _squash(words[wp] + words[wp + 1])
+        for i in range(lookahead):
+            window = _join(pieces[start:start + 2 + i])
+            if window == words[wp] + words[wp + 1] \
+                    or _squash(window) == target:
+                mapping.append((start, start + 1))
+                mapping.append((start + 1, start + 2 + i))
+                wp += 2
+                start = end = start + 2 + i
+                break
+        else:
+            raise ValueError(
+                f"alignment drift at word {wp} ({words[wp]!r}) not "
+                f"repairable within lookahead={lookahead}")
+    return mapping
+
+
 def alignment_report(aligned: ray.data.Dataset) -> dict:
     """Micro summary over an alignment run: per-status counts + span-level
     accuracy over two-sided units (partial per batch, final on driver)."""

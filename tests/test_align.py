@@ -87,3 +87,48 @@ def test_distributed_alignment_and_report():
     assert rep["aligned_units"] == 4
     assert rep["accuracy"] == 1.0
     assert rep["counts"]["match"] == 2
+
+
+# ------------------------- M5: subword↔word alignment w/ lookahead repair
+def test_subword_alignment_clean():
+    from spel_ray.stages.align import subword_word_alignment
+
+    words = ["loading", "records", "now"]
+    pieces = ["load", "ing", "rec", "ords", "now"]
+    assert subword_word_alignment(pieces, words) == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_subword_alignment_repairs_boundary_drift():
+    """Reference ``utils.py:101-112``: a piece straddling a word boundary is
+    repaired by splitting a 2..6-piece window 1/rest between the two words."""
+    from spel_ray.stages.align import subword_word_alignment
+
+    # "don" / "'t" drifted to pieces ["do", "n'", "t"]: no span of pieces
+    # ever equals "don", so the walk drifts; the repair matches the
+    # 3-piece window "don't" against words "don"+"'t" and splits 1/2
+    words = ["don", "'t", "stop"]
+    pieces = ["do", "n'", "t", "st", "op"]
+    out = subword_word_alignment(pieces, words, max_grow=10)
+    assert out == [(0, 1), (1, 3), (3, 5)]     # resynchronized after repair
+
+
+def test_subword_alignment_whitespace_insensitive_repair():
+    from spel_ray.stages.align import subword_word_alignment
+
+    # window join carries an internal space: only the squashed comparison
+    # (the reference's replace(" ", "")) can match it
+    words = ["ab", "cd"]
+    pieces = ["a b", "cd"]
+    out = subword_word_alignment(pieces, words, max_grow=4)
+    assert out == [(0, 1), (1, 2)]
+
+
+def test_subword_alignment_unrepairable_raises():
+    import pytest
+
+    from spel_ray.stages.align import subword_word_alignment
+
+    with pytest.raises(ValueError, match="drift"):
+        subword_word_alignment(["ab"], ["xyz", "qq"], max_grow=4)
+    with pytest.raises(ValueError, match="no following word"):
+        subword_word_alignment(["ab"], ["xyz"], max_grow=4)

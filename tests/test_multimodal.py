@@ -33,10 +33,58 @@ def test_features_deterministic_per_payload():
     assert a["features"].to_pylist() == b["features"].to_pylist()
 
 
-def test_strict_mode_raises():
+def test_strict_mode_raises_when_codec_missing():
+    from spel_ray.functions.multimodal import available_codecs
+
+    avail = available_codecs()
+    assert set(avail) == {"image", "audio", "video"}
+    if all(avail.values()):
+        pytest.skip("every codec installed — nothing missing to test")
     ex = MediaFeatureExtractor(dim=4, strict=True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="install it"):
         ex(make_fake_media_table(2))
+
+
+def test_real_decoder_used_when_available():
+    """Dispatch plumbing for the codec-present case, without the codec:
+    inject a decoder and check strict=True decodes instead of raising and
+    the features are the projected decode output."""
+    import numpy as np
+
+    from spel_ray.functions.multimodal import _project
+
+    ex = MediaFeatureExtractor(dim=4, strict=True)
+    decoded = {}
+
+    def fake_decode(payload: bytes) -> np.ndarray:
+        decoded[payload] = True
+        return np.frombuffer(payload[:8], dtype=np.uint8).astype(np.float32)
+
+    ex.decoders = {"image": fake_decode, "audio": fake_decode,
+                   "video": fake_decode}
+    t = make_fake_media_table(3)
+    out = ex(t)
+    assert len(decoded) == 3                       # every payload decoded
+    p0 = t["payload"][0].as_py()
+    expect = _project(fake_decode(p0), 4).tolist()
+    assert out["features"][0].as_py() == pytest.approx(expect)
+
+
+def test_strict_propagates_decode_errors_nonstrict_falls_back():
+    import numpy as np
+
+    def broken(payload: bytes) -> np.ndarray:
+        raise ValueError("corrupt payload")
+
+    t = make_fake_media_table(2)
+    ex = MediaFeatureExtractor(dim=4, strict=True)
+    ex.decoders = {k: broken for k in ("image", "audio", "video")}
+    with pytest.raises(ValueError, match="corrupt"):
+        ex(t)
+    soft = MediaFeatureExtractor(dim=4, strict=False)
+    soft.decoders = {k: broken for k in ("image", "audio", "video")}
+    out = soft(t)                                  # hash-feature fallback
+    assert all(len(f) == 4 for f in out["features"].to_pylist())
 
 
 def test_frame_sampling():
