@@ -27,6 +27,266 @@ _POW64_SQL = "[" + ", ".join(
 _POWP_SQL = "[" + ", ".join(
     f"{pow(257, j, (1 << 61) - 1)}::HUGEINT" for j in range(32)) + "]"
 
+# Shared SimHash CTE chain: the engine's word hash is the little-endian
+# first 8 bytes of md5 == DuckDB md5_number_upper, so SimHash → 16-bit
+# segment blocking → hamming verify is exactly reproducible in SQL.
+_SIMHASH_BASE_SQL = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS word
+  FROM documents
+), bits AS (
+  SELECT w.doc_id, b.bit,
+         SUM(CASE WHEN (md5_number_upper(w.word) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM w, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY w.doc_id, b.bit
+), sh AS (
+  SELECT d.doc_id,
+         COALESCE((SELECT SUM(CASE WHEN acc > 0
+                        THEN (1::HUGEINT << bit) ELSE 0 END)
+                   FROM bits WHERE bits.doc_id = d.doc_id), 0)::HUGEINT AS hv
+  FROM documents d
+), segs AS (
+  SELECT doc_id, s.s,
+         CAST((hv >> (16 * s.s)) & 65535::HUGEINT AS BIGINT) AS seg
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS s) s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+  FROM segs a JOIN segs b ON a.s = b.s AND a.seg = b.seg
+                          AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.id_lo, c.id_hi,
+         bit_count(xor(
+             CAST(CASE WHEN x.hv >= 9223372036854775808::HUGEINT
+                  THEN x.hv - 18446744073709551616::HUGEINT
+                  ELSE x.hv END AS BIGINT),
+             CAST(CASE WHEN y.hv >= 9223372036854775808::HUGEINT
+                  THEN y.hv - 18446744073709551616::HUGEINT
+                  ELSE y.hv END AS BIGINT))) AS hamming
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_lo
+  JOIN sh y ON y.doc_id = c.id_hi
+), pairs AS (
+  SELECT id_lo, id_hi, CAST(hamming AS BIGINT) AS hamming, FALSE AS capped
+  FROM ham WHERE hamming <= 3
+)
+"""
+
+
+def _minhash_dedup_oracle_sql() -> str:
+    """Full SQL reproduction of the engine's MinHash-LSH dedup pipeline
+    (``q_minhash_dedup_docs``), generated with the engine's own
+    config-seeded constants inlined. Every integer step runs in HUGEINT
+    with explicit mod-2^64 wraps (32-bit-split modular multiply avoids
+    128-bit overflow); xor/shift steps run in UBIGINT. Verified
+    bit-identical to the engine's clusters at sf0.01."""
+    import hashlib as _hl
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.stages.blocking import BlockKeyExploder
+    from spel_ray.stages.minhash import MinHasher
+
+    cfg = LinkageConfig(use_verifier=False)
+    mh = MinHasher(cfg)
+    exp = BlockKeyExploder(cfg)
+
+    M64 = "18446744073709551616::HUGEINT"       # 2^64
+    M32 = "4294967296::HUGEINT"                 # 2^32
+    MIX = 0xFF51AFD7ED558CCD
+    EXACT_FAMILY = 0xE0E0E0E0E0E0E0E0
+    EMPTY_SENTINEL = 0x9E3779B97F4A7C15
+    LANG_SALT = int.from_bytes(
+        _hl.blake2b(b"txt", digest_size=8).digest(), "big")
+
+    def lit_list(vals):
+        return "[" + ", ".join(f"{int(v)}::HUGEINT" for v in vals) + "]"
+
+    def modmul(a, b):
+        """(a*b) mod 2^64 for HUGEINT exprs < 2^64 (32-bit split)."""
+        return (f"((((({a}) >> 32) * ({b})) % {M32}) * {M32}"
+                f" + ((({a}) & 4294967295::HUGEINT) * ({b}))) % {M64}")
+
+    def xorshift(col, shift):
+        return (f"CAST(xor(CAST({col} AS UBIGINT), "
+                f"CAST({col} AS UBIGINT) >> {shift}) AS HUGEINT)")
+
+    def perm_values(name, avals, bvals):
+        rows = ", ".join(f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+                         for i, (a, b) in enumerate(zip(avals, bvals)))
+        return f"(VALUES {rows}) {name}(p, a, b)"
+
+    P257 = lit_list(mh.powers)
+    BAND_POWS = lit_list(mh.band_pows)
+    BAND_SALT = lit_list(exp.band_salt)
+    POW16 = lit_list([16 ** k for k in range(16)])
+
+    return f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT doc_id, text,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         sha256(text) AS sha_hex
+  FROM documents
+),
+db AS MATERIALIZED (
+  SELECT doc_id, norm, length(norm) AS n,
+         list_transform(generate_series(1, length(norm)),
+                        i -> ascii(norm[i:i])::HUGEINT) AS b
+  FROM d
+),
+sh0 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(n - 6, 1))) AS s, b, n
+  FROM db
+),
+sh1 AS (
+  SELECT doc_id, s,
+         (list_sum(list_transform(generate_series(0, 6),
+            j -> CASE WHEN s + j <= n THEN b[s + j] * ({P257})[j + 1]
+                 ELSE 0::HUGEINT END))) % {M64} AS h0
+  FROM sh0
+),
+sh2 AS (SELECT doc_id, s, {xorshift('h0', 33)} AS h1 FROM sh1),
+sh3 AS (SELECT doc_id, s, {modmul('h1', MIX)} AS h2 FROM sh2),
+shingles AS MATERIALIZED (
+  SELECT doc_id, {xorshift('h2', 33)} AS h FROM sh3
+),
+csig AS MATERIALIZED (
+  SELECT doc_id, cp.p,
+         MIN(({modmul('h', 'cp.a')} + cp.b) % {M64}) % 65536::HUGEINT
+             AS slot
+  FROM shingles, {perm_values('cp', mh.A, mh.B)}
+  GROUP BY doc_id, cp.p
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(norm,
+             '[A-Za-z_][A-Za-z_0-9]*|[0-9]+')) AS tl
+  FROM db
+),
+tokh AS (
+  SELECT doc_id,
+         CASE WHEN len(tl) = 0 THEN [{EMPTY_SENTINEL}::HUGEINT]
+              ELSE list_transform(tl,
+                   t -> md5_number_upper(t)::HUGEINT) END AS hl
+  FROM toks
+),
+tokrows AS (SELECT doc_id, unnest(hl) AS h FROM tokh),
+tsig AS MATERIALIZED (
+  SELECT doc_id, tp.p,
+         MIN(({modmul('h', 'tp.a')} + tp.b) % {M64}) % 65536::HUGEINT
+             AS slot
+  FROM tokrows, {perm_values('tp', mh.At, mh.Bt)}
+  GROUP BY doc_id, tp.p
+),
+sha8 AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, 16),
+            i -> (strpos('0123456789abcdef', sha_hex[i:i]) - 1)::HUGEINT
+                 * ({POW16})[17 - i])) % {M64} AS v
+  FROM d
+),
+ex0 AS (
+  SELECT doc_id,
+         CAST(xor(CAST(v AS UBIGINT), {LANG_SALT}::UBIGINT) AS HUGEINT) AS x
+  FROM sha8
+),
+ex1 AS (SELECT doc_id, {modmul('x', MIX)} AS x FROM ex0),
+ex2 AS (SELECT doc_id, {xorshift('x', 33)} AS x FROM ex1),
+exact_keys AS (
+  SELECT doc_id,
+         CAST(xor(CAST(x AS UBIGINT), {EXACT_FAMILY}::UBIGINT) AS HUGEINT)
+             AS key
+  FROM ex2
+),
+bh0 AS (
+  SELECT doc_id, (p // 4) AS band,
+         SUM(slot * ({BAND_POWS})[(p % 4) + 1]) % {M64} AS h
+  FROM csig GROUP BY doc_id, (p // 4)
+),
+bh1 AS (
+  SELECT doc_id, band, {modmul('h', f"({BAND_SALT})[band + 1]")} AS h
+  FROM bh0
+),
+band_keys AS (
+  SELECT doc_id,
+         CAST(xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 32) AS HUGEINT)
+             AS key
+  FROM bh1
+),
+blockrows AS MATERIALIZED (
+  SELECT key, doc_id FROM exact_keys
+  UNION ALL
+  SELECT key, doc_id FROM band_keys
+),
+bsize AS (SELECT key, COUNT(*) AS n FROM blockrows GROUP BY key),
+small_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+  FROM blockrows a
+  JOIN blockrows b ON a.key = b.key AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.key = a.key
+  WHERE s.n <= {cfg.max_block_pairs_n}
+),
+chain_pairs AS (
+  SELECT DISTINCT id_lo, nxt AS id_hi FROM (
+    SELECT r.key, r.doc_id AS id_lo,
+           lead(r.doc_id) OVER (PARTITION BY r.key
+                                ORDER BY r.doc_id) AS nxt,
+           s.n
+    FROM blockrows r JOIN bsize s ON s.key = r.key)
+  WHERE n > {cfg.max_block_pairs_n} AND nxt IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT id_lo, id_hi FROM
+    (SELECT * FROM small_pairs UNION ALL SELECT * FROM chain_pairs)
+),
+jacs AS (
+  SELECT c.id_lo, c.id_hi,
+         SUM(CASE WHEN x.slot = y.slot THEN 1 ELSE 0 END)
+             / {cfg.num_perm}.0 AS jac
+  FROM cand c
+  JOIN csig x ON x.doc_id = c.id_lo
+  JOIN csig y ON y.doc_id = c.id_hi AND y.p = x.p
+  GROUP BY c.id_lo, c.id_hi
+),
+tjacs AS (
+  SELECT c.id_lo, c.id_hi,
+         SUM(CASE WHEN x.slot = y.slot THEN 1 ELSE 0 END)
+             / {cfg.num_perm_tok}.0 AS tjac
+  FROM cand c
+  JOIN tsig x ON x.doc_id = c.id_lo
+  JOIN tsig y ON y.doc_id = c.id_hi AND y.p = x.p
+  GROUP BY c.id_lo, c.id_hi
+),
+scored AS (
+  SELECT j.id_lo, j.id_hi,
+         CASE WHEN dl.sha_hex = dh.sha_hex THEN 1.0
+              ELSE ({cfg.char_weight} * j.jac + {cfg.tok_weight} * t.tjac)
+                   * (0.8 + 0.2 * (least(dl.n_chars, dh.n_chars)
+                      / greatest(greatest(dl.n_chars, dh.n_chars), 1)
+                        ::DOUBLE))
+         END AS score,
+         dl.sha_hex = dh.sha_hex AS is_exact
+  FROM jacs j
+  JOIN tjacs t ON t.id_lo = j.id_lo AND t.id_hi = j.id_hi
+  JOIN d dl ON dl.doc_id = j.id_lo
+  JOIN d dh ON dh.doc_id = j.id_hi
+),
+mh_edges AS (
+  SELECT id_lo AS a, id_hi AS b FROM scored
+  WHERE is_exact OR score >= {cfg.score_threshold}
+),
+mh_edges2 AS (
+  SELECT a, b FROM mh_edges UNION ALL SELECT b, a FROM mh_edges
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN mh_edges2 e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: near-dup clustering of documents."""
@@ -60,7 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": dq.q_asof_join,
         "sliding_window": dq.q_sliding_window,
         "embedding_stats": dq.q_embedding_stats,
-        "simhash_clusters": dq.q_simhash_clusters_docs,  # rows-only
+        "simhash_clusters": dq.q_simhash_clusters_docs,
         # documents / training-data operators
         "train_split": dq.q_train_split,
         "exact_dedup_docs": dq.q_exact_dedup_docs,
@@ -76,11 +336,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": dq.q_doc_fingerprints,
         "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
         "ngram_distinct_counts": dq.q_ngram_distinct_counts,
-        "minhash_dedup_docs": dq.q_minhash_dedup_docs,   # rows-only
+        "minhash_dedup_docs": dq.q_minhash_dedup_docs,
         "curation_basic": dq.q_curation_basic,
         "curation_full": dq.q_curation_full,             # rows-only
         "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
-        "simhash_candidates": dq.q_simhash_candidates_docs,  # rows-only
+        "simhash_candidates": dq.q_simhash_candidates_docs,
         "hard_negatives": dq.q_hard_negatives,               # rows-only
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "candidate_multigrain": dq.q_candidate_multigrain,   # rows-only
@@ -321,6 +581,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             ORDER BY id_lo, id_hi
+        """,
+        "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
+        "simhash_candidates": _SIMHASH_BASE_SQL + """
+            SELECT * FROM pairs ORDER BY id_lo, id_hi
+        """,
+        "simhash_clusters": _SIMHASH_BASE_SQL + """
+            , edges AS (
+              SELECT id_lo AS a, id_hi AS b FROM pairs
+              UNION ALL
+              SELECT id_hi, id_lo FROM pairs
+            ), reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS row_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node ORDER BY row_id
         """,
         "langid": """
             WITH t AS (

@@ -104,11 +104,14 @@ def minhash_dedup(ds: ray.data.Dataset, cfg: LinkageConfig | None = None,
 # ------------------------------------------------------------------ simhash
 def simhash64(text: str, word_re: re.Pattern = _WORD_RE) -> int:
     """Charikar SimHash over word features (uint64) — single-text reference
-    implementation (the spec); the hot path is :func:`batch_simhash64`."""
+    implementation (the spec); the hot path is :func:`batch_simhash64`.
+
+    The word hash is the little-endian first 8 bytes of md5: bit-identical
+    to DuckDB's ``md5_number_upper``, which makes the whole SimHash family
+    SQL-oracle-able (same trick as the md5 shingle fingerprints)."""
     acc = np.zeros(64, dtype=np.int64)
     for w in word_re.findall((text or "").lower()):
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = np.uint64(0)
@@ -140,8 +143,7 @@ def batch_simhash64(texts: list[str | None],
         return np.zeros(len(texts), dtype=np.uint64)
     codes, uniques = pd.factorize(pd.array(words), sort=False)
     uh = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(str(u).encode(),
-                                        digest_size=8).digest(), "big")
+        (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "little")
          for u in uniques),
         dtype=np.uint64, count=len(uniques))
     bits_u = ((uh[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)

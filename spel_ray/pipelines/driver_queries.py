@@ -238,7 +238,12 @@ def q_curation_full(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
-    """rows-only: near-dup clusters over documents via MinHash-LSH."""
+    """Near-dup clusters over documents via MinHash-LSH — DuckDB-oracled
+    END TO END: the oracle reproduces normalization, shingle hashing,
+    truncated 64-perm signatures, band + exact block keys, candidate-pair
+    generation (incl. the hot-block chain), the blend score, threshold
+    edges, and the transitive closure, bit-for-bit (see
+    ``__ray_entry__._minhash_dedup_oracle_sql``)."""
     from spel_ray.functions.dedup import minhash_dedup
     ds = _docs(sf_dir, ["doc_id", "text"])
     cfg = LinkageConfig(use_verifier=False)
@@ -275,7 +280,9 @@ def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_candidates_docs(sf_dir: str) -> pd.DataFrame:
-    """rows-only: SimHash near-dup candidate pairs (hamming <= 3)."""
+    """SimHash near-dup candidate pairs (hamming <= 3) — DuckDB-oracled:
+    the word hash is md5_number_upper-compatible, so simhash, segment
+    blocking, and the hamming verify are reproduced exactly in SQL."""
     from spel_ray.functions.dedup import add_simhash, simhash_candidates
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = simhash_candidates(add_simhash(ds), id_col="doc_id",
@@ -557,8 +564,9 @@ def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_clusters_docs(sf_dir: str) -> pd.DataFrame:
-    """rows-only: SimHash candidates → connected components → clusters
-    (the second near-dup family end-to-end)."""
+    """SimHash candidates → connected components → clusters (the second
+    near-dup family end-to-end) — DuckDB-oracled, including the transitive
+    closure (recursive-CTE min-label reachability)."""
     from spel_ray.functions.dedup import add_simhash, simhash_candidates
     from spel_ray.stages.clustering import assign_clusters, connected_components
 

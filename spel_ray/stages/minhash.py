@@ -83,19 +83,22 @@ class MinHasher:
     def token_hashes(self, text: str) -> np.ndarray:
         """Unique uint64 hashes of identifier/number tokens — the engine's
         word-level view (≙ the reference's word granularity above subwords,
-        ``span_annotation.py:66-121``)."""
-        from zlib import crc32
+        ``span_annotation.py:66-121``).
+
+        Hash = little-endian first 8 bytes of md5, bit-identical to DuckDB's
+        ``md5_number_upper`` — the same cross-engine-oracle-able scheme as
+        the SimHash word hash and the shingle fingerprints. Token sets are
+        tiny per document, so md5-vs-crc32 cost is irrelevant here (the
+        char-shingle sketch is the hot path)."""
+        import hashlib
 
         toks = set(self.token_re.findall(text.encode("utf-8", errors="ignore")))
         if not toks:
             return np.array([_EMPTY_SENTINEL], dtype=np.uint64)
-        # crc32 (C speed) spread to 64 bits; 32-bit collisions are harmless
-        # at per-document token-set sizes
-        out = np.fromiter((crc32(t) for t in toks), dtype=np.uint64,
-                          count=len(toks))
-        out = out * np.uint64(0x9E3779B97F4A7C15)
-        out ^= out >> np.uint64(31)
-        return out
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(t).digest()[:8], "little")
+             for t in toks),
+            dtype=np.uint64, count=len(toks))
 
     def token_signature(self, text: str) -> np.ndarray:
         """(num_perm_tok,) uint64 MinHash over the token set — a colocated
