@@ -27,6 +27,43 @@ _POW64_SQL = "[" + ", ".join(
 _POWP_SQL = "[" + ", ".join(
     f"{pow(257, j, (1 << 61) - 1)}::HUGEINT" for j in range(32)) + "]"
 
+
+def _blake_salt(s: str) -> int:
+    """The engine's per-lang exact-key salt (blocking._lang_salts)."""
+    import hashlib
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+_TXT_SALT = _blake_salt("txt")
+# the testdata generator's fixed document-language set (stable across sf)
+_DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+_POW16_SQL = "[" + ", ".join(f"{16 ** k}::HUGEINT" for k in range(16)) + "]"
+
+
+def _docs_code_base_sql() -> str:
+    """The documents table adapted to the code-table id space:
+    doc_id := the engine's row_id (big-endian first 8 bytes of
+    sha256('{source}\\x00doc{id}.txt\\x00{id}'), top bit cleared) and a
+    per-lang blake2b exact-key salt — mirrors
+    ``sources.code_table.documents_as_code_table`` + ``_row_ids_np``."""
+    cases = " ".join(f"WHEN '{lang}' THEN {_blake_salt(lang)}::HUGEINT"
+                     for lang in _DOC_LANGS)
+    return f"""
+        SELECT
+          CAST((list_sum(list_transform(generate_series(1, 16),
+                 i -> (strpos('0123456789abcdef',
+                       sha256(source || chr(0) || 'doc'
+                              || CAST(doc_id AS VARCHAR) || '.txt'
+                              || chr(0) || CAST(doc_id AS VARCHAR))[i:i])
+                       - 1)::HUGEINT
+                      * ({_POW16_SQL})[17 - i]))
+                & 9223372036854775807::HUGEINT) AS BIGINT) AS doc_id,
+          text,
+          CASE lang {cases} ELSE 0::HUGEINT END AS lang_salt
+        FROM documents
+    """
+
 # Shared SimHash CTE chain: the engine's word hash is the little-endian
 # first 8 bytes of md5 == DuckDB md5_number_upper, so SimHash → 16-bit
 # segment blocking → hamming verify is exactly reproducible in SQL.
@@ -73,13 +110,24 @@ WITH RECURSIVE w AS (
 """
 
 
-def _minhash_dedup_oracle_sql() -> str:
+def _minhash_dedup_oracle_sql(
+        base_docs: str | None = None,
+        final_select: str | None = None) -> str:
     """Full SQL reproduction of the engine's MinHash-LSH dedup pipeline
     (``q_minhash_dedup_docs``), generated with the engine's own
     config-seeded constants inlined. Every integer step runs in HUGEINT
     with explicit mod-2^64 wraps (32-bit-split modular multiply avoids
     128-bit overflow); xor/shift steps run in UBIGINT. Verified
-    bit-identical to the engine's clusters at sf0.01."""
+    bit-identical to the engine's clusters at sf0.01.
+
+    ``base_docs``: the (doc_id, text, lang_salt) relation the dedup runs
+    over — parameterizing it lets ``curation_full`` reuse the whole chain
+    over its gated+deduped subset and ``linkage_docs``/``hard_negatives``
+    run it over the code-table adaptation (rid-hash ids + per-lang exact
+    salts). ``final_select``: optional replacement for the default
+    cluster-table projection; it can reference ``base`` (the input docs),
+    ``scored`` (id_lo, id_hi, score, is_exact) and ``cc``
+    (doc_id, cluster_id)."""
     import hashlib as _hl
 
     from spel_ray.config import LinkageConfig
@@ -120,13 +168,21 @@ def _minhash_dedup_oracle_sql() -> str:
     BAND_SALT = lit_list(exp.band_salt)
     POW16 = lit_list([16 ** k for k in range(16)])
 
+    if base_docs is None:
+        base_docs = (f"SELECT doc_id, text, {LANG_SALT}::HUGEINT "
+                     f"AS lang_salt FROM documents")
+    if final_select is None:
+        final_select = """
+            SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
+
     return f"""
-WITH RECURSIVE d AS MATERIALIZED (
-  SELECT doc_id, text,
+WITH RECURSIVE base AS MATERIALIZED ({base_docs}),
+d AS MATERIALIZED (
+  SELECT doc_id, text, lang_salt,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
          CAST(length(text) AS BIGINT) AS n_chars,
          sha256(text) AS sha_hex
-  FROM documents
+  FROM base
 ),
 db AS MATERIALIZED (
   SELECT doc_id, norm, length(norm) AS n,
@@ -179,7 +235,7 @@ tsig AS MATERIALIZED (
   GROUP BY doc_id, tp.p
 ),
 sha8 AS (
-  SELECT doc_id,
+  SELECT doc_id, lang_salt,
          list_sum(list_transform(generate_series(1, 16),
             i -> (strpos('0123456789abcdef', sha_hex[i:i]) - 1)::HUGEINT
                  * ({POW16})[17 - i])) % {M64} AS v
@@ -187,7 +243,8 @@ sha8 AS (
 ),
 ex0 AS (
   SELECT doc_id,
-         CAST(xor(CAST(v AS UBIGINT), {LANG_SALT}::UBIGINT) AS HUGEINT) AS x
+         CAST(xor(CAST(v AS UBIGINT), CAST(lang_salt AS UBIGINT))
+              AS HUGEINT) AS x
   FROM sha8
 ),
 ex1 AS (SELECT doc_id, {modmul('x', MIX)} AS x FROM ex0),
@@ -279,12 +336,14 @@ mh_edges2 AS (
   SELECT a, b FROM mh_edges UNION ALL SELECT b, a FROM mh_edges
 ),
 reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM base
   UNION
   SELECT e.b, r.lab FROM reach r JOIN mh_edges2 e ON e.a = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
 )
-SELECT node AS doc_id, MIN(lab) AS cluster_id
-FROM reach GROUP BY node ORDER BY doc_id
+{final_select}
 """
 
 
@@ -338,10 +397,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_distinct_counts": dq.q_ngram_distinct_counts,
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,
         "curation_basic": dq.q_curation_basic,
-        "curation_full": dq.q_curation_full,             # rows-only
+        "curation_full": dq.q_curation_full,
+        "linkage_docs": dq.q_linkage_docs,
         "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
         "simhash_candidates": dq.q_simhash_candidates_docs,
-        "hard_negatives": dq.q_hard_negatives,               # rows-only
+        "hard_negatives": dq.q_hard_negatives,
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "candidate_multigrain": dq.q_candidate_multigrain,   # rows-only
         "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
@@ -583,6 +643,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_lo, id_hi
         """,
         "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
+        "curation_full": _minhash_dedup_oracle_sql(
+            base_docs=f"""
+                SELECT MIN(doc_id) AS doc_id, text,
+                       {_TXT_SALT}::HUGEINT AS lang_salt
+                FROM documents
+                WHERE length(text) > 99
+                  AND len(regexp_extract_all(text, '\\S+')) > 9
+                GROUP BY text
+            """,
+            final_select="""
+            SELECT b.doc_id, b.text,
+                   CASE WHEN (b.doc_id * 2654435761) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS part
+            FROM base b
+            JOIN cc ON cc.doc_id = b.doc_id AND cc.cluster_id = b.doc_id
+            ORDER BY b.doc_id"""),
+        "linkage_docs": _minhash_dedup_oracle_sql(
+            base_docs=_docs_code_base_sql(),
+            final_select="""
+            SELECT doc_id AS row_id, cluster_id FROM cc ORDER BY row_id"""),
+        "hard_negatives": _minhash_dedup_oracle_sql(
+            base_docs=_docs_code_base_sql(),
+            final_select="""
+            SELECT id_lo, id_hi, score FROM scored
+            WHERE NOT is_exact AND score < 0.42
+            ORDER BY score DESC, id_lo, id_hi LIMIT 50"""),
         "simhash_candidates": _SIMHASH_BASE_SQL + """
             SELECT * FROM pairs ORDER BY id_lo, id_hi
         """,

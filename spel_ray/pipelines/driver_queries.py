@@ -252,6 +252,19 @@ def q_minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_linkage_docs(sf_dir: str) -> pd.DataFrame:
+    """THE flagship linkage pipeline (blocking → pairwise scoring →
+    transitive clustering) over documents adapted to the code-table
+    schema — DuckDB-oracled end to end, including the rid row-id hash and
+    per-lang exact-key salts (``__ray_entry__._docs_code_base_sql``)."""
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+
+    cfg = LinkageConfig(use_verifier=False)
+    res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
+    return res.clusters.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+
 def q_linkage_docs_verified(sf_dir: str) -> pd.DataFrame:
     """rows-only: the flagship linkage over documents WITH the exact
     content verifier enabled (actor pool + bucketed content join) — covers
@@ -265,9 +278,10 @@ def q_linkage_docs_verified(sf_dir: str) -> pd.DataFrame:
 
 
 def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
-    """rows-only: global top-50 hardest negatives (highest-scoring
-    non-match candidate pairs) from the documents linkage run — the T5
-    two-stage top-k over the scored pair set."""
+    """Global top-50 hardest negatives (highest-scoring non-match candidate
+    pairs) from the documents linkage run — the T5 two-stage top-k over the
+    scored pair set. DuckDB-oracled with RAW double scores (the blend is
+    built from int/int divisions and elementary IEEE ops on both sides)."""
     from spel_ray.pipelines.linkage import run_linkage
     from spel_ray.sources.code_table import documents_as_code_table
     from spel_ray.stages.pairs import mine_hard_negatives
@@ -275,7 +289,6 @@ def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
     cfg = LinkageConfig(use_verifier=False)
     res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
     out = mine_hard_negatives(res.pairs, cfg, n=50).to_pandas()
-    out["score"] = out["score"].round(5)
     return out.reset_index(drop=True)
 
 
