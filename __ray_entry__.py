@@ -112,7 +112,8 @@ WITH RECURSIVE w AS (
 
 def _minhash_dedup_oracle_sql(
         base_docs: str | None = None,
-        final_select: str | None = None) -> str:
+        final_select: str | None = None,
+        verify: bool = False) -> str:
     """Full SQL reproduction of the engine's MinHash-LSH dedup pipeline
     (``q_minhash_dedup_docs``), generated with the engine's own
     config-seeded constants inlined. Every integer step runs in HUGEINT
@@ -328,10 +329,34 @@ scored AS (
   JOIN d dl ON dl.doc_id = j.id_lo
   JOIN d dh ON dh.doc_id = j.id_hi
 ),
+{f'''vscored AS (
+  SELECT s.id_lo, s.id_hi, s.is_exact,
+         CASE WHEN s.score >= {cfg.verify_low}
+               AND s.score < {cfg.verify_high} THEN
+           greatest(
+             0.7 * (CASE WHEN len(kl.tl) = 0 AND len(kh.tl) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(kl.tl, kh.tl)) AS DOUBLE)
+                         / (len(kl.tl) + len(kh.tl)
+                            - len(list_intersect(kl.tl, kh.tl))) END)
+             + 0.3 * (CASE WHEN dl.norm = '' AND dh.norm = '' THEN 1.0
+                      ELSE jaro_winkler_similarity(substr(dl.norm, 1, 128),
+                                                   substr(dh.norm, 1, 128))
+                      END),
+             CASE WHEN s.is_exact THEN 1.0 ELSE 0.0 END)
+         ELSE s.score END AS score
+  FROM scored s
+  JOIN toks kl ON kl.doc_id = s.id_lo
+  JOIN toks kh ON kh.doc_id = s.id_hi
+  JOIN d dl ON dl.doc_id = s.id_lo
+  JOIN d dh ON dh.doc_id = s.id_hi
+),
 mh_edges AS (
+  SELECT id_lo AS a, id_hi AS b FROM vscored
+  WHERE is_exact OR score >= {cfg.score_threshold}
+),''' if verify else f'''mh_edges AS (
   SELECT id_lo AS a, id_hi AS b FROM scored
   WHERE is_exact OR score >= {cfg.score_threshold}
-),
+),'''}
 mh_edges2 AS (
   SELECT a, b FROM mh_edges UNION ALL SELECT b, a FROM mh_edges
 ),
@@ -399,7 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_basic": dq.q_curation_basic,
         "curation_full": dq.q_curation_full,
         "linkage_docs": dq.q_linkage_docs,
-        "linkage_docs_verified": dq.q_linkage_docs_verified,  # rows-only
+        "linkage_docs_verified": dq.q_linkage_docs_verified,
         "simhash_candidates": dq.q_simhash_candidates_docs,
         "hard_negatives": dq.q_hard_negatives,
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
@@ -669,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_lo, id_hi, score FROM scored
             WHERE NOT is_exact AND score < 0.42
             ORDER BY score DESC, id_lo, id_hi LIMIT 50"""),
+        "linkage_docs_verified": _minhash_dedup_oracle_sql(
+            base_docs=_docs_code_base_sql(),
+            verify=True,
+            final_select="""
+            SELECT doc_id AS row_id, cluster_id FROM cc ORDER BY row_id"""),
         "simhash_candidates": _SIMHASH_BASE_SQL + """
             SELECT * FROM pairs ORDER BY id_lo, id_hi
         """,

@@ -64,8 +64,17 @@ def jaro(a: str, b: str) -> float:
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
-def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4,
+                 boost_threshold: float = 0.7) -> float:
+    """Classic Winkler form: the common-prefix bonus applies only when the
+    Jaro similarity clears ``boost_threshold`` (Winkler 1990) — also
+    bit-identical to DuckDB's ``jaro_winkler_similarity`` (verified over a
+    test matrix incl. asymmetric lengths), which makes verifier scores
+    SQL-oracle-able. Sole divergence: ('','') is 1.0 here, 0.0 in DuckDB
+    (the oracle special-cases it)."""
     j = jaro(a, b)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
         if ca != cb:
