@@ -198,17 +198,31 @@ def synth_parquet_path(n_rows: int, seed: int = 42,
     """Generate-once-and-cache the synthetic table as Parquet.
 
     bench.py and tests read through this so generation cost never lands
-    inside a timed region. Written atomically (tmp file + rename) so two
+    inside a timed region. Written atomically (tmp dir + rename) so two
     concurrent processes (the two `--scaling` runs) can share the cache.
+
+    Large corpora are SHARDED across files (~12.5k rows each, ≤64): Ray's
+    parquet read parallelizes per file, and a single-file cache made the
+    200k-row bench scan a 1-task serial stage (~5s at 32 CPUs) while every
+    other core waited. Content is identical either way (row_ids are
+    content-derived, so goldens/clusters don't depend on file layout).
     """
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_v3.parquet")
+    out = os.path.join(cache_dir, f"code_files_n{n_rows}_s{seed}_v4")
     if not os.path.exists(out):
         t = generate_code_table(n_rows, seed)
         tmp = out + f".tmp.{os.getpid()}"
-        # small row groups so the parquet reader can split the file into
-        # enough blocks to keep every core busy (one giant row group would
-        # cap read/sketch parallelism at ~1)
-        pq.write_table(t, tmp, row_group_size=2048)
-        os.replace(tmp, out)
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+        n_shards = max(1, min(64, n_rows // 12500))
+        per = -(-t.num_rows // n_shards)
+        for s in range(n_shards):
+            # small row groups so each file still splits into enough blocks
+            pq.write_table(t.slice(s * per, per),
+                           os.path.join(tmp, f"part-{s:04d}.parquet"),
+                           row_group_size=2048)
+        try:
+            os.replace(tmp, out)
+        except OSError:                 # concurrent writer won the rename
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
