@@ -53,6 +53,22 @@ def _features(t: pa.Table, cfg: LinkageConfig):
     }
 
 
+def _sketch_query_features(cfg: LinkageConfig, sketch: "MinHasher",
+                           explode: "BlockKeyExploder", content: str,
+                           lang: str) -> dict:
+    """Sketch ONE query record through the same stages as the corpus — THE
+    single definition of the query-side feature computation, shared by the
+    single-index and sharded paths (a duplicate recipe would silently
+    desync probe-key routing)."""
+    one = pa.table({
+        "repo": ["__query__"], "path": ["__query__"], "commit": ["0"],
+        "lang": [lang], "content": [content or ""],
+    })
+    rows = explode(sketch(fingerprint_batch(
+        one, strip_comments=cfg.strip_comments)))
+    return _features(rows, cfg)
+
+
 def _empty_block_rows(cfg: LinkageConfig) -> pa.Table:
     return pa.table({
         "block_key": pa.array([], pa.int64()),
@@ -110,22 +126,12 @@ class LinkageIndex:
         return cls(cfg, tbl)
 
     # ----------------------------------------------------------------- link
-    def link(self, content: str, lang: str = "txt", *, k: int = 5,
-             min_score: float | None = None) -> list[dict]:
-        """Link one record: returns up to ``k`` matches
-        ``{row_id, score, exact}`` with score ≥ min_score (defaults to the
-        config's edge threshold), ranked by (score desc, row_id)."""
+    def _hits_from_features(self, f: dict, thr: float, k: int) -> list[dict]:
+        """Probe + score pre-sketched query features against this index.
+        Returns up to k hits with RAW (unrounded) scores — ranking must
+        happen on raw scores so a sharded merge orders identically to the
+        single index."""
         cfg = self.cfg
-        thr = cfg.score_threshold if min_score is None else min_score
-        one = pa.table({
-            "repo": ["__query__"], "path": ["__query__"], "commit": ["0"],
-            "lang": [lang], "content": [content or ""],
-        })
-        rows = self._explode(self._sketch(fingerprint_batch(
-            one, strip_comments=cfg.strip_comments)))
-        f = _features(rows, cfg)
-
-        # probe: candidate positions = union over the query's block keys
         pos_parts = [np.arange(*self._index[int(bk)])
                      for bk in f["block_key"] if int(bk) in self._index]
         if not pos_parts:
@@ -148,9 +154,20 @@ class LinkageIndex:
         keep = np.flatnonzero(score >= thr)
         order = keep[np.lexsort((self._row_id[pos][keep], -score[keep]))][:k]
         return [{"row_id": int(self._row_id[pos][i]),
-                 "score": round(float(score[i]), 6),
+                 "score": float(score[i]),
                  "exact": bool(exact[i])}
                 for i in order]
+
+    def link(self, content: str, lang: str = "txt", *, k: int = 5,
+             min_score: float | None = None) -> list[dict]:
+        """Link one record: returns up to ``k`` matches
+        ``{row_id, score, exact}`` with score ≥ min_score (defaults to the
+        config's edge threshold), ranked by (score desc, row_id)."""
+        thr = self.cfg.score_threshold if min_score is None else min_score
+        f = _sketch_query_features(self.cfg, self._sketch, self._explode,
+                                   content, lang)
+        hits = self._hits_from_features(f, thr, k)
+        return [{**h, "score": round(h["score"], 6)} for h in hits]
 
 
 def serving_actor(num_cpus: float = 1.0):
@@ -191,6 +208,12 @@ def _shard_actor(num_cpus: float = 1.0):
         def link(self, content: str, lang: str = "txt", k: int = 5,
                  min_score: float | None = None) -> list[dict]:
             return self.index.link(content, lang, k=k, min_score=min_score)
+
+        def link_features(self, f: dict, thr: float, k: int) -> list[dict]:
+            """Probe pre-sketched query features — the sharded fan-out path
+            (the driver sketches ONCE; shards never re-hash the content and
+            the raw content is never shipped). Returns RAW scores."""
+            return self.index._hits_from_features(f, thr, k)
 
     return LinkageShard
 
@@ -239,7 +262,15 @@ class ShardedLinkageIndex:
             return t.append_column("shard", pa.array(s, pa.int64()))
 
         rows = rows.map_batches(add_shard, batch_format="pyarrow")
-        index_dir = index_dir or tempfile.mkdtemp(prefix="spel_ray_index_")
+        if index_dir is None:
+            index_dir = tempfile.mkdtemp(prefix="spel_ray_index_")
+        elif os.path.isdir(index_dir) and os.listdir(index_dir):
+            # Ray's write_parquet APPENDS into existing partitions — a
+            # reused dir would mix generations and serve stale rows
+            raise ValueError(
+                f"index_dir {index_dir!r} is not empty; pass a fresh "
+                "directory per build (stale shard files would be loaded "
+                "alongside the new ones)")
         rows.write_parquet(index_dir, partition_cols=["shard"])
 
         Shard = _shard_actor(num_cpus)
@@ -250,22 +281,24 @@ class ShardedLinkageIndex:
 
     def link(self, content: str, lang: str = "txt", *, k: int = 5,
              min_score: float | None = None) -> list[dict]:
-        one = pa.table({
-            "repo": ["__query__"], "path": ["__query__"], "commit": ["0"],
-            "lang": [lang], "content": [content or ""],
-        })
-        rows = self._explode(self._sketch(fingerprint_batch(
-            one, strip_comments=self.cfg.strip_comments)))
-        keys = np.unique(np.asarray(rows["block_key"], dtype=np.int64))
+        cfg = self.cfg
+        thr = cfg.score_threshold if min_score is None else min_score
+        # sketch ONCE on the driver via the single shared definition; ship
+        # only the slim feature arrays (~a few hundred bytes), not content
+        f = _sketch_query_features(cfg, self._sketch, self._explode,
+                                   content, lang)
+        keys = np.unique(f["block_key"])
         if len(keys) == 0:
             return []
         shards = np.unique(keys % self._n)
-        futs = [self._actors[int(s)].link.remote(content, lang, k=k,
-                                                 min_score=min_score)
+        futs = [self._actors[int(s)].link_features.remote(f, thr, k)
                 for s in shards]
         best: dict[int, dict] = {}
         for part in ray.get(futs):
             for h in part:              # same row in 2 shards → same score
                 best.setdefault(h["row_id"], h)
-        return sorted(best.values(),
-                      key=lambda h: (-h["score"], h["row_id"]))[:k]
+        # rank on RAW scores (exactly the single index's lexsort), round
+        # only for the returned payload
+        merged = sorted(best.values(),
+                        key=lambda h: (-h["score"], h["row_id"]))[:k]
+        return [{**h, "score": round(h["score"], 6)} for h in merged]

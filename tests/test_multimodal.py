@@ -34,15 +34,25 @@ def test_features_deterministic_per_payload():
 
 
 def test_strict_mode_raises_when_codec_missing():
+    """Per media type: strict=True on a type with NO installed codec must
+    raise NotImplementedError naming the fix. Types whose codec IS present
+    would instead attempt a real decode (covered elsewhere), so the table
+    is filtered to a single missing type."""
+    import pyarrow as pa
+
     from spel_ray.functions.multimodal import available_codecs
 
     avail = available_codecs()
     assert set(avail) == {"image", "audio", "video"}
-    if all(avail.values()):
+    missing = [t for t, ok in avail.items() if not ok]
+    if not missing:
         pytest.skip("every codec installed — nothing missing to test")
+    t = make_fake_media_table(30)   # 30 rows: every type present (seed 42)
+    only = t.filter(pa.compute.equal(t["media_type"], missing[0]))
+    assert only.num_rows > 0
     ex = MediaFeatureExtractor(dim=4, strict=True)
     with pytest.raises(NotImplementedError, match="install it"):
-        ex(make_fake_media_table(2))
+        ex(only)
 
 
 def test_real_decoder_used_when_available():

@@ -116,6 +116,22 @@ def test_sharded_index_matches_single():
         ray.kill(a)
 
 
+def test_sharded_index_refuses_dirty_index_dir(tmp_path):
+    """Ray's write_parquet APPENDS into existing partitions — a reused
+    index_dir would mix generations and serve stale rows, so build must
+    refuse it (code-review r3 finding #1)."""
+    import pytest
+
+    from spel_ray.serving import ShardedLinkageIndex
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "stale.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="not empty"):
+        ShardedLinkageIndex.build(_corpus(), LinkageConfig(), n_shards=2,
+                                  index_dir=str(d))
+
+
 def test_multigrain_resolution():
     from spel_ray.stages.candidates import resolve_multigrain
 
