@@ -28,6 +28,24 @@ _POWP_SQL = "[" + ", ".join(
     f"{pow(257, j, (1 << 61) - 1)}::HUGEINT" for j in range(32)) + "]"
 
 
+
+_ANN_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id < 5
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_cosine_similarity(q.embedding, e.embedding), 5)
+               AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                        DESC, e.vec_id) AS BIGINT) AS rank
+    FROM q CROSS JOIN embeddings e
+    QUALIFY rank <= 10
+    ORDER BY q.query_id, rank
+"""
+
 def _blake_salt(s: str) -> int:
     """The engine's per-lang exact-key salt (blocking._lang_salts)."""
     import hashlib
@@ -39,6 +57,37 @@ _TXT_SALT = _blake_salt("txt")
 # the testdata generator's fixed document-language set (stable across sf)
 _DOC_LANGS = ["de", "en", "es", "fr", "zh"]
 _POW16_SQL = "[" + ", ".join(f"{16 ** k}::HUGEINT" for k in range(16)) + "]"
+
+
+def _chunk_base_sql(window: int = 16, overlap: int = 4,
+                    min_tokens: int = 8) -> str:
+    """Documents exploded into overlapping token chunks, mirroring
+    ``stages.chunker.chunk_records`` exactly (stride walk with the
+    partial-tail skip rule). Chunk ids are the surrogate
+    ``doc_id * 4096 + k`` — the engine's blake2b chunk ids only order
+    pairs, and pair SETS are id-order-independent (no hot chunk blocks at
+    oracle scale), so record-pair outputs agree."""
+    stride = window - overlap
+    return f"""
+        SELECT (t.doc_id * 4096 + ks.k) AS doc_id,
+               array_to_string(t.toks[{stride} * ks.k + 1 :
+                                      {stride} * ks.k + {window}], ' ')
+                   AS text,
+               {_blake_salt('chunk')}::HUGEINT AS lang_salt
+        FROM (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+                 len(regexp_extract_all(text, '\\S+')) AS n
+          FROM documents
+        ) t,
+        LATERAL (
+          SELECT unnest(generate_series(0,
+            CASE WHEN t.n <= {window} THEN 0
+                 ELSE CAST(ceil((t.n - {window}) / {stride}.0) AS BIGINT)
+            END)) AS k
+        ) ks
+        WHERE t.n >= {min_tokens}
+          AND (ks.k = 0 OR t.n - {stride} * ks.k >= {min_tokens})
+    """
 
 
 def _docs_code_base_sql() -> str:
@@ -429,11 +478,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": dq.q_hard_negatives,
         "candidate_resolution": dq.q_candidate_resolution,   # rows-only
         "candidate_multigrain": dq.q_candidate_multigrain,   # rows-only
-        "chunk_neardup": dq.q_chunk_neardup,                 # rows-only
+        "chunk_neardup": dq.q_chunk_neardup,
         "align_segmentations": dq.q_align_segmentations,     # rows-only
         # embeddings
         "ann_topk": dq.q_ann_topk,
-        "ann_topk_lsh": dq.q_ann_topk_lsh,           # rows-only (approximate)
+        "ann_topk_lsh": dq.q_ann_topk_lsh,   # oracled: recall-1.0 params ⇒
+                                             # must equal exact brute force
         "ann_topk_ivf": dq.q_ann_topk_ivf,           # rows-only (approximate)
         "ann_recall_lsh": dq.q_ann_recall_lsh,       # recall gate vs ann_topk
         "ann_recall_ivf": dq.q_ann_recall_ivf,       # recall gate vs ann_topk
@@ -699,6 +749,18 @@ def oracle_sql() -> dict[str, str]:
             verify=True,
             final_select="""
             SELECT doc_id AS row_id, cluster_id FROM cc ORDER BY row_id"""),
+        "chunk_neardup": _minhash_dedup_oracle_sql(
+            base_docs=_chunk_base_sql(),
+            final_select="""
+            SELECT least(s.id_lo // 4096, s.id_hi // 4096) AS id_lo,
+                   greatest(s.id_lo // 4096, s.id_hi // 4096) AS id_hi,
+                   MAX(s.score) AS max_chunk_score,
+                   COUNT(*) AS n_shared_chunks
+            FROM scored s
+            WHERE (s.is_exact OR s.score >= 0.6)
+              AND s.id_lo // 4096 <> s.id_hi // 4096
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""),
         "simhash_candidates": _SIMHASH_BASE_SQL + """
             SELECT * FROM pairs ORDER BY id_lo, id_hi
         """,
@@ -861,22 +923,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
             ORDER BY lang
         """,
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding FROM embeddings
-                WHERE vec_id < 5
-            )
-            SELECT q.query_id, e.vec_id,
-                   ROUND(list_cosine_similarity(q.embedding, e.embedding), 5)
-                       AS cosine,
-                   CAST(row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
-                                DESC, e.vec_id) AS BIGINT) AS rank
-            FROM q CROSS JOIN embeddings e
-            QUALIFY rank <= 10
-            ORDER BY q.query_id, rank
-        """,
+        "ann_topk": _ANN_TOPK_SQL,
+        # the tuned LSH path (4 planes x 24 tables) achieves recall 1.0 on
+        # this corpus and carries TRUE cosines with the same tie-break, so
+        # its output must EQUAL the exact brute force — oracling it against
+        # the same SQL pins that equality (the engine-side recall gate
+        # additionally quantifies it); IVF (recall ~0.9) stays rows-only
+        "ann_topk_lsh": _ANN_TOPK_SQL,
         "embedding_neardup": """
             SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 5)

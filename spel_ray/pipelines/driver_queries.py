@@ -395,8 +395,10 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
-    """rows-only: record pairs sharing a near-duplicate text chunk
-    (partial-document duplication — whole-doc MinHash misses these)."""
+    """Record pairs sharing a near-duplicate text chunk (partial-document
+    duplication — whole-doc MinHash misses these). DuckDB-oracled: the
+    oracle re-derives the overlapping chunks in SQL and runs the same
+    sketch chain over them (raw-double scores)."""
     from spel_ray.stages.chunker import chunk_level_pairs
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -413,7 +415,6 @@ def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
                              "id_hi": pd.Series(dtype="int64"),
                              "max_chunk_score": pd.Series(dtype="float64"),
                              "n_shared_chunks": pd.Series(dtype="int64")})
-    out["max_chunk_score"] = out["max_chunk_score"].round(5)
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
