@@ -46,6 +46,41 @@ _ANN_TOPK_SQL = """
     ORDER BY q.query_id, rank
 """
 
+_QUALITY_ORACLE_SQL = """
+            WITH t AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
+                len(regexp_extract_all(text, '\\w+')) AS n_words,
+                len(regexp_extract_all(lower(text),
+                    '\\b(?:a|and|for|in|is|it|of|that|the|to)\\b')) AS n_stop,
+                length(text) AS n_len,
+                length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  - (length(text) - length(replace(text, '_', '')))
+                  AS n_alpha
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens_bpe, n_tokens_ws,
+                CASE WHEN n_words > 0
+                     THEN CAST(n_stop AS DOUBLE) / n_words
+                     ELSE 0.0 END AS stop_ratio,
+                CASE WHEN n_len > 0
+                     THEN 1.0 - CAST(n_alpha AS DOUBLE) / n_len
+                     ELSE 0.0 END AS punct_ratio
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+                   stop_ratio, punct_ratio,
+                   least(greatest(ln(1.0 + n_tokens_ws) / ln(200.0),
+                                  0.0), 1.0) * 0.4
+                   + least(greatest(stop_ratio * 4.0, 0.0), 1.0) * 0.3
+                   + least(greatest(1.0 - punct_ratio * 2.5, 0.0), 1.0) * 0.3
+                       AS quality
+            FROM r ORDER BY doc_id
+        """
+
+
 def _blake_salt(s: str) -> int:
     """The engine's per-lang exact-key salt (blocking._lang_salts)."""
     import hashlib
@@ -87,6 +122,26 @@ def _chunk_base_sql(window: int = 16, overlap: int = 4,
         ) ks
         WHERE t.n >= {min_tokens}
           AND (ks.k = 0 OR t.n - {stride} * ks.k >= {min_tokens})
+    """
+
+
+def _scrub_oracle_sql() -> str:
+    """Redaction oracle generated from the engine's own SCRUB_RULES, so
+    the RE2 patterns can never drift between the Arrow kernels and SQL."""
+    from spel_ray.functions.scrub import SCRUB_RULES
+
+    expr = "text"
+    for _name, pattern, repl in SCRUB_RULES:
+        p = pattern.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(scrubbed, '{repl}'))"
+        for _name, _pat, repl in SCRUB_RULES)
+    return f"""
+        SELECT doc_id, scrubbed AS text,
+               CAST({counts} AS BIGINT) AS n_redactions
+        FROM (SELECT doc_id, {expr} AS scrubbed FROM documents)
+        ORDER BY doc_id
     """
 
 
@@ -464,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocab": dq.q_token_vocab,
         "line_stats": dq.q_line_stats,
         "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
+        "scrub_docs": dq.q_scrub_docs,
+        "quality_quantiles": dq.q_quality_quantiles,
+        "shuffle_export": dq.q_shuffle_export,
         "langid": dq.q_langid,
         "quality": dq.q_quality,
         "doc_fingerprints": dq.q_doc_fingerprints,
@@ -777,6 +835,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS row_id, MIN(lab) AS cluster_id
             FROM reach GROUP BY node ORDER BY row_id
         """,
+        "scrub_docs": _scrub_oracle_sql(),
+        "quality_quantiles": f"""
+            WITH o AS (
+              SELECT quality AS v,
+                     row_number() OVER (ORDER BY quality) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM ({_QUALITY_ORACLE_SQL})
+            )
+            SELECT qq.q, MIN(o.v) AS value
+            FROM o, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+                     qq(q)
+            WHERE o.rn >= ceil(qq.q * o.n)
+            GROUP BY qq.q ORDER BY qq.q
+        """,
+        "shuffle_export": """
+            SELECT doc_id,
+                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)
+                       AS shuffle_rank
+            FROM documents
+            ORDER BY shuffle_rank, doc_id
+        """,
         "langid": """
             WITH t AS (
               SELECT doc_id,
@@ -810,39 +889,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'fr' END AS pred_lang
             FROM v ORDER BY doc_id
         """,
-        "quality": """
-            WITH t AS (
-              SELECT doc_id,
-                len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
-                len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
-                len(regexp_extract_all(text, '\\w+')) AS n_words,
-                len(regexp_extract_all(lower(text),
-                    '\\b(?:a|and|for|in|is|it|of|that|the|to)\\b')) AS n_stop,
-                length(text) AS n_len,
-                length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-                  - (length(text) - length(replace(text, '_', '')))
-                  AS n_alpha
-              FROM documents
-            ), r AS (
-              SELECT doc_id, n_tokens_bpe, n_tokens_ws,
-                CASE WHEN n_words > 0
-                     THEN CAST(n_stop AS DOUBLE) / n_words
-                     ELSE 0.0 END AS stop_ratio,
-                CASE WHEN n_len > 0
-                     THEN 1.0 - CAST(n_alpha AS DOUBLE) / n_len
-                     ELSE 0.0 END AS punct_ratio
-              FROM t
-            )
-            SELECT doc_id, CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
-                   stop_ratio, punct_ratio,
-                   least(greatest(ln(1.0 + n_tokens_ws) / ln(200.0),
-                                  0.0), 1.0) * 0.4
-                   + least(greatest(stop_ratio * 4.0, 0.0), 1.0) * 0.3
-                   + least(greatest(1.0 - punct_ratio * 2.5, 0.0), 1.0) * 0.3
-                       AS quality
-            FROM r ORDER BY doc_id
-        """,
+        "quality": _QUALITY_ORACLE_SQL,
         "doc_fingerprints": f"""
             WITH pw AS (SELECT {_POW64_SQL} AS p64, {_POWP_SQL} AS pp),
             d AS (

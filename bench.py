@@ -100,6 +100,26 @@ def run_bench() -> dict:
               for n, ts in times.items()}
     headline = statistics.median(times["linkage_bench"])
 
+    # online serving throughput (≙ the reference's headline sec/doc,
+    # README.md:46): single-record link() against a 50k-row index
+    from spel_ray.serving import LinkageIndex
+    from spel_ray.sources.synth import generate_code_table
+
+    serve_corpus = synth_parquet_path(50000, seed=7)
+    idx = LinkageIndex.build(read_code_table(serve_corpus), LinkageConfig())
+    probe_rows = generate_code_table(400, seed=7)   # first rows ≈ corpus
+    contents = probe_rows["content"].to_pylist()[:200]
+    langs = probe_rows["lang"].to_pylist()[:200]
+    idx.link(contents[0], langs[0])                 # warm
+    serve_times = []
+    for _ in range(3):
+        t0 = time.time()
+        n_hits = 0
+        for c, lg in zip(contents, langs):
+            n_hits += len(idx.link(c, lg, k=5))
+        serve_times.append(time.time() - t0)
+    serve_med = statistics.median(serve_times)
+
     ray.shutdown()
     return {
         "metric": "linkage_e2e_sec",
@@ -114,6 +134,9 @@ def run_bench() -> dict:
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / headline, 1),
         "capped_pair_fraction": skew["capped_fraction"],
+        "serving_links_per_sec": round(len(contents) / serve_med, 1),
+        "serving_sec_per_doc": round(serve_med / len(contents), 5),
+        "serving_index_rows": 50000,
     }
 
 

@@ -1,0 +1,110 @@
+"""Distributed order statistics — exact quantiles without collecting data.
+
+The quantile threshold ("keep the top X% by quality score") is the other
+half of every curation gate; approximate sketches (t-digest) trade accuracy
+for one pass, but an EXACT distributed quantile is perfectly expressible in
+the engine's own primitives and stays scale-safe:
+
+1. per-batch ``value_counts`` → slim (value, n) partials;
+2. one bucketed shuffle finalizes per-distinct-value counts;
+3. a distributed sort orders the distinct values;
+4. per-block summaries (min_v, max_v, n) — ONE ROW PER BLOCK — go to the
+   driver, which prefix-sums them to locate the block holding each k-th
+   order statistic;
+5. only the few touched blocks are re-read (a value-range filter pushed
+   through map_batches), never the whole column.
+
+The driver never holds more than (num_blocks + touched-block) rows — the
+"collect the column and sort it" anti-pattern never appears.
+
+Definition (mirrored exactly by the SQL oracle): ``quantile(q)`` = the
+smallest value whose cumulative count ≥ ``ceil(q * n)`` — the classic
+discrete (lower) quantile.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from spel_ray.state.shuffle import bucketed_groupby
+
+
+def _value_counts(ds: ray.data.Dataset, col: str,
+                  num_buckets: int) -> ray.data.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy()
+        uniq, counts = np.unique(v, return_counts=True)
+        h = uniq.view(np.int64)          # bit pattern as the bucket key
+        return pa.table({"v": pa.array(uniq, pa.float64()),
+                         "n": pa.array(counts, pa.int64()),
+                         "_h": pa.array(h, pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("v", sort=False)["n"].sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby(parts, "_h",
+                            lambda df: combine(df.drop(columns=["_h"])),
+                            num_buckets=num_buckets)
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """Exact discrete quantiles of ``ds[col]`` (float) for each q in
+    ``qs``. Returns a DataFrame (q, value) sorted like ``qs``."""
+    counts = _value_counts(ds, col, num_buckets).sort("v").materialize()
+
+    # one summary row per sorted block (block order == value order)
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_v": pa.array([], pa.float64()),
+                             "max_v": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        v = np.asarray(batch["v"], dtype=np.float64)
+        return pa.table({
+            "min_v": pa.array([float(v[0])], pa.float64()),
+            "max_v": pa.array([float(v[-1])], pa.float64()),
+            "n": pa.array([int(np.asarray(batch["n"]).sum())], pa.int64()),
+        })
+
+    summary = counts.map_batches(summarize, batch_size=None,
+                                 batch_format="pyarrow").take_all()
+    totals = np.array([r["n"] for r in summary], dtype=np.int64)
+    n_total = int(totals.sum())
+    if n_total == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs),
+                                                dtype="float64")})
+    cum = np.cumsum(totals)
+    cum_before = np.concatenate([[0], cum[:-1]])
+
+    ks = [max(1, math.ceil(q * n_total)) for q in qs]
+    block_of = {k: int(np.searchsorted(cum, k, side="left")) for k in ks}
+
+    # re-read ONLY the touched blocks via a value-range filter (distinct
+    # values make block ranges strictly disjoint)
+    block_rows: dict[int, pd.DataFrame] = {}
+    for bi in sorted(set(block_of.values())):
+        lo, hi = summary[bi]["min_v"], summary[bi]["max_v"]
+        sub = counts.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(
+                pc.and_(pc.greater_equal(b["v"], lo),
+                        pc.less_equal(b["v"], hi))),
+            batch_format="pyarrow").to_pandas().sort_values("v")
+        block_rows[bi] = sub.reset_index(drop=True)
+
+    values = []
+    for q, k in zip(qs, ks):
+        bi = block_of[k]
+        sub = block_rows[bi]
+        c = cum_before[bi] + sub["n"].to_numpy().cumsum()
+        j = int(np.searchsorted(c, k, side="left"))
+        values.append(float(sub["v"].iloc[j]))
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": pd.Series(values, dtype="float64")})

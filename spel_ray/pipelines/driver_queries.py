@@ -418,6 +418,49 @@ def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
+def q_quality_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles of the quality score, computed WITHOUT
+    collecting the column (value-count shuffle + sorted block summaries +
+    targeted block reads) — the curation-threshold primitive, DuckDB-
+    oracled against a window-function order statistic."""
+    from spel_ray.functions.stats import exact_quantiles
+    from spel_ray.functions.text import analyze_documents
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = analyze_documents(ds).select_columns(["quality"])
+    return exact_quantiles(scored, "quality",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], num_buckets=8)
+
+
+def q_shuffle_export(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus shuffle for training export (K6 family): a
+    seeded multiplicative-hash rank + one distributed sort — reproducible
+    across engines AND runs, unlike random_shuffle."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64).view(np.uint64)
+        r = (ids * np.uint64(0x9E3779B1)) % np.uint64(1 << 32)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shuffle_rank": pa.array(r.astype(np.int64),
+                                                  pa.int64())})
+
+    out = ds.map_batches(rank, batch_format="pyarrow") \
+            .sort(["shuffle_rank", "doc_id"])
+    return out.to_pandas().reset_index(drop=True)
+
+
+def q_scrub_docs(sf_dir: str) -> pd.DataFrame:
+    """PII/secret redaction pass over documents — DuckDB-oracled: the
+    rules are RE2 patterns applied via Arrow kernels engine-side and
+    regexp_replace(..., 'g') oracle-side, generated from the SAME
+    SCRUB_RULES list so they cannot drift."""
+    from spel_ray.functions.scrub import scrub_documents
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return scrub_documents(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_candidate_resolution(sf_dir: str) -> pd.DataFrame:
     """rows-only: SpEL-style fixed-candidate-set scoring — the first 20
     documents form the candidate vocabulary; every document resolves to its
