@@ -127,20 +127,32 @@ def _chunk_base_sql(window: int = 16, overlap: int = 4,
 
 def _scrub_oracle_sql() -> str:
     """Redaction oracle generated from the engine's own SCRUB_RULES, so
-    the RE2 patterns can never drift between the Arrow kernels and SQL."""
+    the RE2 patterns can never drift between the Arrow kernels and SQL.
+
+    DuckDB single-quoted literals do NOT process backslash escapes, so the
+    pattern goes in verbatim (only quotes doubled) — doubling backslashes
+    would corrupt every \\b / \\. and make the oracle redact nothing
+    (code-review r3b finding #1). Per-rule match counts are taken on the
+    text as it stands BEFORE that rule's replacement — actual replacements,
+    not placeholder occurrences."""
     from spel_ray.functions.scrub import SCRUB_RULES
 
-    expr = "text"
-    for _name, pattern, repl in SCRUB_RULES:
-        p = pattern.replace("\\", "\\\\").replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
-    counts = " + ".join(
-        f"len(regexp_extract_all(scrubbed, '{repl}'))"
-        for _name, _pat, repl in SCRUB_RULES)
+    sel = "SELECT doc_id, text AS t0 FROM documents"
+    prev = "t0"
+    counts = []
+    for i, (_name, pattern, repl) in enumerate(SCRUB_RULES, start=1):
+        p = pattern.replace("'", "''")
+        sel = (f"SELECT doc_id, "
+               f"len(regexp_extract_all({prev}, '{p}')) AS c{i}, "
+               f"regexp_replace({prev}, '{p}', '{repl}', 'g') AS t{i}"
+               f"{''.join(f', c{j}' for j in range(1, i))} "
+               f"FROM ({sel})")
+        prev = f"t{i}"
+        counts.append(f"c{i}")
     return f"""
-        SELECT doc_id, scrubbed AS text,
-               CAST({counts} AS BIGINT) AS n_redactions
-        FROM (SELECT doc_id, {expr} AS scrubbed FROM documents)
+        SELECT doc_id, {prev} AS text,
+               CAST({' + '.join(counts)} AS BIGINT) AS n_redactions
+        FROM ({sel})
         ORDER BY doc_id
     """
 

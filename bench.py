@@ -102,16 +102,22 @@ def run_bench() -> dict:
 
     # online serving throughput (≙ the reference's headline sec/doc,
     # README.md:46): single-record link() against a 50k-row index
+    import pyarrow.parquet as pqt
+
     from spel_ray.serving import LinkageIndex
-    from spel_ray.sources.synth import generate_code_table
 
     serve_corpus = synth_parquet_path(50000, seed=7)
     idx = LinkageIndex.build(read_code_table(serve_corpus), LinkageConfig())
-    probe_rows = generate_code_table(400, seed=7)   # first rows ≈ corpus
-    contents = probe_rows["content"].to_pylist()[:200]
-    langs = probe_rows["lang"].to_pylist()[:200]
+    # probes = actual rows OF the indexed corpus (a differently-sized
+    # generate_code_table call shares no rng stream with it), so the sweep
+    # measures hit-bearing serving, evidenced by the reported hit count
+    probe_rows = pqt.read_table(serve_corpus,
+                                columns=["content", "lang"]).slice(0, 200)
+    contents = probe_rows["content"].to_pylist()
+    langs = probe_rows["lang"].to_pylist()
     idx.link(contents[0], langs[0])                 # warm
     serve_times = []
+    n_hits = 0
     for _ in range(3):
         t0 = time.time()
         n_hits = 0
@@ -137,6 +143,7 @@ def run_bench() -> dict:
         "serving_links_per_sec": round(len(contents) / serve_med, 1),
         "serving_sec_per_doc": round(serve_med / len(contents), 5),
         "serving_index_rows": 50000,
+        "serving_hits": n_hits,
     }
 
 

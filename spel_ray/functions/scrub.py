@@ -56,16 +56,20 @@ def scrub_documents(ds: ray.data.Dataset, *, text_col: str = "text",
     observability count (curation pipelines audit how much was redacted —
     a cap that silently rewrites data is the thing the repo never does)."""
     def f(batch: pa.Table) -> pa.Table:
-        original = batch[text_col]
-        scrubbed = scrub_text(original)
-        # count redactions per row: number of placeholder tokens inserted
+        # count ACTUAL replacements: matches of each rule's pattern on the
+        # text as it stands before that rule's pass — counting placeholder
+        # substrings afterwards would misattribute pre-existing literal
+        # '<EMAIL>' etc. as redactions (code-review r3b finding #5)
+        cur = batch[text_col]
         n = None
-        for _name, _pat, repl in SCRUB_RULES:
-            c = pc.count_substring(scrubbed, repl)
+        for _name, pattern, repl in SCRUB_RULES:
+            c = pc.count_substring_regex(cur, pattern)
             n = c if n is None else pc.add(n, c)
+            cur = pc.replace_substring_regex(cur, pattern=pattern,
+                                             replacement=repl)
         return pa.table({
             id_col: batch[id_col],
-            "text": scrubbed,
+            "text": cur,
             "n_redactions": pc.cast(n, pa.int64()),
         })
 

@@ -19,7 +19,10 @@ The driver never holds more than (num_blocks + touched-block) rows — the
 
 Definition (mirrored exactly by the SQL oracle): ``quantile(q)`` = the
 smallest value whose cumulative count ≥ ``ceil(q * n)`` — the classic
-discrete (lower) quantile.
+discrete (lower) quantile. NaN/null inputs are EXCLUDED from both the
+counts and ``n`` (SQL NULL semantics); -0.0 is folded into +0.0 so equal
+values share one bit pattern (bucketing and block-range disjointness
+depend on it).
 """
 
 from __future__ import annotations
@@ -38,7 +41,13 @@ from spel_ray.state.shuffle import bucketed_groupby
 def _value_counts(ds: ray.data.Dataset, col: str,
                   num_buckets: int) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy()
+        v = batch[col].to_numpy().astype(np.float64, copy=False)
+        # NaN/null semantics: EXCLUDED, like SQL NULLs in aggregates and
+        # ORDER BY-based order statistics — documented contract
+        v = v[~np.isnan(v)]
+        v = v + 0.0          # fold -0.0 into +0.0: equal values must share
+        #                      one bit pattern or they split across buckets
+        #                      and break block-range disjointness
         uniq, counts = np.unique(v, return_counts=True)
         h = uniq.view(np.int64)          # bit pattern as the bucket key
         return pa.table({"v": pa.array(uniq, pa.float64()),
@@ -73,8 +82,14 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
             "n": pa.array([int(np.asarray(batch["n"]).sum())], pa.int64()),
         })
 
-    summary = counts.map_batches(summarize, batch_size=None,
-                                 batch_format="pyarrow").take_all()
+    # Ray does NOT preserve block order through map_batches by default
+    # (preserve_order off) — re-establish value order on the driver by
+    # sorting the per-block summaries on min_v (blocks partition the
+    # sorted value space, so min_v orders them totally)
+    summary = sorted(
+        counts.map_batches(summarize, batch_size=None,
+                           batch_format="pyarrow").take_all(),
+        key=lambda r: r["min_v"])
     totals = np.array([r["n"] for r in summary], dtype=np.int64)
     n_total = int(totals.sum())
     if n_total == 0:
@@ -87,16 +102,25 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
     ks = [max(1, math.ceil(q * n_total)) for q in qs]
     block_of = {k: int(np.searchsorted(cum, k, side="left")) for k in ks}
 
-    # re-read ONLY the touched blocks via a value-range filter (distinct
-    # values make block ranges strictly disjoint)
+    # re-read ONLY the touched blocks, in ONE filter pass over the counts
+    # dataset (the union of the disjoint block ranges — one scan total,
+    # not one per quantile)
+    touched = sorted(set(block_of.values()))
+    ranges = [(summary[bi]["min_v"], summary[bi]["max_v"]) for bi in touched]
+
+    def in_ranges(b: pa.Table) -> pa.Table:
+        mask = None
+        for lo, hi in ranges:
+            m = pc.and_(pc.greater_equal(b["v"], lo),
+                        pc.less_equal(b["v"], hi))
+            mask = m if mask is None else pc.or_(mask, m)
+        return b.filter(mask)
+
+    rows = counts.map_batches(in_ranges, batch_format="pyarrow") \
+                 .to_pandas().sort_values("v").reset_index(drop=True)
     block_rows: dict[int, pd.DataFrame] = {}
-    for bi in sorted(set(block_of.values())):
-        lo, hi = summary[bi]["min_v"], summary[bi]["max_v"]
-        sub = counts.map_batches(
-            lambda b, lo=lo, hi=hi: b.filter(
-                pc.and_(pc.greater_equal(b["v"], lo),
-                        pc.less_equal(b["v"], hi))),
-            batch_format="pyarrow").to_pandas().sort_values("v")
+    for bi, (lo, hi) in zip(touched, ranges):
+        sub = rows[(rows["v"] >= lo) & (rows["v"] <= hi)]
         block_rows[bi] = sub.reset_index(drop=True)
 
     values = []
