@@ -113,3 +113,9 @@ def test_scrub_oracle_sql_matches_engine_on_real_pii():
     assert o["n_redactions"].sum() >= 5          # it really redacts
     assert r["n_redactions"].iloc[2] == 0        # literal placeholder ≠ hit
     assert "<EMAIL>" in r["text"].iloc[0] and "<IP>" in r["text"].iloc[0]
+
+
+def test_exact_quantiles_single_value():
+    ds = rd.from_arrow(pa.table({"x": pa.array([3.14] * 9, pa.float64())}))
+    out = exact_quantiles(ds, "x", [0.01, 0.5, 1.0], num_buckets=2)
+    assert list(out["value"]) == [3.14, 3.14, 3.14]
