@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
         "scrub_docs": dq.q_scrub_docs,
         "quality_quantiles": dq.q_quality_quantiles,
+        "tfidf_top_terms": dq.q_tfidf_top_terms,
         "shuffle_export": dq.q_shuffle_export,
         "langid": dq.q_langid,
         "quality": dq.q_quality,
@@ -848,6 +849,30 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node ORDER BY row_id
         """,
         "scrub_docs": _scrub_oracle_sql(),
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS term,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS c, MAX(n_tok) AS n_tok
+              FROM tok GROUP BY doc_id, term
+            ),
+            dfx AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term
+            ),
+            nd AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT t.doc_id, t.term,
+                   (CAST(t.c AS DOUBLE) / t.n_tok) * ln(nd.n / d.df) AS tfidf
+            FROM tf t JOIN dfx d ON d.term = t.term, nd
+            QUALIFY row_number() OVER (PARTITION BY t.doc_id
+                                       ORDER BY tfidf DESC, t.term) <= 3
+            ORDER BY t.doc_id, t.term
+        """,
         "quality_quantiles": f"""
             WITH o AS (
               SELECT quality AS v,

@@ -191,6 +191,83 @@ def _token_vocab_finalize(parts, top_k, num_buckets, bucketed_groupby):
         .head(top_k).reset_index(drop=True)
 
 
+def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms — the classic distinctive-term /
+    rare-token signal of a text-quality pipeline.
+
+    Two passes, both pre-aggregated before their shuffle:
+    1. document frequency: per-batch DISTINCT (token, doc) partials →
+       bucketed token-count (the token_vocab shape) — the DF side stays a
+       slim (token, df) table that is then BROADCAST (vocabulary-sized,
+       not corpus-sized);
+    2. per-doc TF + score: one map_batches computes term frequencies and
+       idf lookups per row and emits the top-k rows per document.
+
+    Scores are pure int/int + ln() arithmetic, so the DuckDB oracle
+    reproduces them exactly:
+    ``tf = count(t in d) / n_tokens(d)``, ``idf = ln(n_docs / df)``,
+    ``tfidf = tf * idf``; ties at the cutoff break by term text.
+    Tokenization is the whitespace split (shared with token_vocab)."""
+    import math as _math
+
+    import ray as _ray
+
+    from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            for w in set((t or "").split()):
+                pairs.append(w)
+        if not pairs:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "_h": pa.array([], pa.int64())})
+        vc = pd.Series(pairs).value_counts()
+        tokens = vc.index.to_numpy(dtype=object)
+        return pa.table({"token": pa.array(tokens.tolist(), pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                         "_h": pa.array(stable_str_hash(tokens), pa.int64())})
+
+    df_final = bucketed_groupby(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "_h",
+        lambda d: d.drop(columns=["_h"]).groupby("token", sort=False)["df"]
+                   .sum().reset_index(),
+        num_buckets=num_buckets).to_pandas()
+    # broadcast the (vocabulary-sized) df table once
+    order = np.argsort(df_final["token"].to_numpy(dtype=object))
+    df_ref = _ray.put((df_final["token"].to_numpy(dtype=object)[order],
+                       df_final["df"].to_numpy(np.int64)[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tok_sorted, dfs = _ray.get(df_ref)
+        out_id, out_term, out_score = [], [], []
+        ids = batch[id_col].to_pylist()
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            ws = (t or "").split()
+            if not ws:
+                continue
+            vc = pd.Series(ws).value_counts()
+            terms = vc.index.to_numpy(dtype=object)
+            pos = np.searchsorted(tok_sorted, terms)
+            idf = np.array([_math.log(n_docs / dfs[p]) for p in pos])
+            tfidf = (vc.to_numpy(np.int64) / len(ws)) * idf
+            top = np.lexsort((terms, -tfidf))[:k]
+            for j in top:
+                out_id.append(ids[i])
+                out_term.append(str(terms[j]))
+                out_score.append(float(tfidf[j]))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_term, pa.string()),
+                         "tfidf": pa.array(out_score, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
                id_col: str = "doc_id") -> ray.data.Dataset:
     """Repetition metrics per document (the Gopher/C4-style quality-rule

@@ -418,6 +418,16 @@ def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (distributed DF shuffle + broadcast
+    idf lookup) — DuckDB-oracled with raw doubles (int/int divisions and
+    scalar-log idf are IEEE-identical on both sides)."""
+    from spel_ray.functions.text import tfidf_top_terms
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def q_quality_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete quantiles of the quality score, computed WITHOUT
     collecting the column (value-count shuffle + sorted block summaries +

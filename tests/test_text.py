@@ -113,3 +113,28 @@ def test_line_stats_repetition():
     assert abs(out.loc[1, "dup_line_frac"] - 0.5) < 1e-12
     assert out.loc[2, "dup_line_frac"] == 0.0
     assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_line_frac"] == 0.0
+
+
+def test_tfidf_top_terms_hand_computed():
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.text import tfidf_top_terms
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "cherry cherry date"],
+    }))
+    out = tfidf_top_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    # doc 1: apple tf=2/3 idf=ln(3/1); banana tf=1/3 idf=ln(3/2)
+    d1 = out[out["doc_id"] == 1].set_index("term")["tfidf"]
+    assert d1["apple"] == (2 / 3) * math.log(3 / 1)
+    assert d1["banana"] == (1 / 3) * math.log(3 / 2)
+    # doc 3: date (rare) outranks cherry despite tf 1/3 vs 2/3
+    d3 = out[out["doc_id"] == 3].set_index("term")["tfidf"]
+    assert d3["date"] == (1 / 3) * math.log(3 / 1)
+    assert d3["cherry"] == (2 / 3) * math.log(3 / 2)
+    assert len(out) == 6        # k=2 per doc
