@@ -197,75 +197,96 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
     """Per-document top-k TF-IDF terms — the classic distinctive-term /
     rare-token signal of a text-quality pipeline.
 
-    Two passes, both pre-aggregated before their shuffle:
-    1. document frequency: per-batch DISTINCT (token, doc) partials →
-       bucketed token-count (the token_vocab shape) — the DF side stays a
-       slim (token, df) table that is then BROADCAST (vocabulary-sized,
-       not corpus-sized);
-    2. per-doc TF + score: one map_batches computes term frequencies and
-       idf lookups per row and emits the top-k rows per document.
+    Fully shuffle-based — NO vocabulary broadcast (a web-scale corpus has
+    a heavy-tailed vocabulary far beyond broadcast size):
 
-    Scores are pure int/int + ln() arithmetic, so the DuckDB oracle
-    reproduces them exactly:
+    1. one explode pass emits per-doc (term, tf_count, n_tokens) rows AND
+       per-batch-distinct (term, df_partial) rows under one aligned
+       schema;
+    2. a bucketed shuffle on the term colocates each term's TF rows with
+       its DF partials — the per-bucket resolve sums the DF and scores
+       every TF row (scalar math.log over the few DISTINCT df values, so
+       the doubles are bit-identical to DuckDB's ln);
+    3. a second bucketed shuffle on the doc id takes the per-document
+       top-k (tfidf desc, term asc).
+
     ``tf = count(t in d) / n_tokens(d)``, ``idf = ln(n_docs / df)``,
-    ``tfidf = tf * idf``; ties at the cutoff break by term text.
-    Tokenization is the whitespace split (shared with token_vocab)."""
+    ``tfidf = tf * idf``. Tokenization is the whitespace split (shared
+    with token_vocab)."""
     import math as _math
-
-    import ray as _ray
 
     from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
 
     n_docs = ds.count()
 
-    def df_partial(batch: pa.Table) -> pa.Table:
-        pairs: list[str] = []
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            for w in set((t or "").split()):
-                pairs.append(w)
-        if not pairs:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "_h": pa.array([], pa.int64())})
-        vc = pd.Series(pairs).value_counts()
-        tokens = vc.index.to_numpy(dtype=object)
-        return pa.table({"token": pa.array(tokens.tolist(), pa.string()),
-                         "df": pa.array(vc.to_numpy(np.int64), pa.int64()),
-                         "_h": pa.array(stable_str_hash(tokens), pa.int64())})
-
-    df_final = bucketed_groupby(
-        ds.map_batches(df_partial, batch_format="pyarrow"), "_h",
-        lambda d: d.drop(columns=["_h"]).groupby("token", sort=False)["df"]
-                   .sum().reset_index(),
-        num_buckets=num_buckets).to_pandas()
-    # broadcast the (vocabulary-sized) df table once
-    order = np.argsort(df_final["token"].to_numpy(dtype=object))
-    df_ref = _ray.put((df_final["token"].to_numpy(dtype=object)[order],
-                       df_final["df"].to_numpy(np.int64)[order]))
-
-    def score(batch: pa.Table) -> pa.Table:
-        tok_sorted, dfs = _ray.get(df_ref)
-        out_id, out_term, out_score = [], [], []
-        ids = batch[id_col].to_pylist()
-        for i, t in enumerate(batch[text_col].to_pylist()):
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, terms, cs, ntoks, dfp = [], [], [], [], []
+        for rid, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
             ws = (t or "").split()
             if not ws:
                 continue
             vc = pd.Series(ws).value_counts()
-            terms = vc.index.to_numpy(dtype=object)
-            pos = np.searchsorted(tok_sorted, terms)
-            idf = np.array([_math.log(n_docs / dfs[p]) for p in pos])
-            tfidf = (vc.to_numpy(np.int64) / len(ws)) * idf
-            top = np.lexsort((terms, -tfidf))[:k]
-            for j in top:
-                out_id.append(ids[i])
-                out_term.append(str(terms[j]))
-                out_score.append(float(tfidf[j]))
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "term": pa.array(out_term, pa.string()),
-                         "tfidf": pa.array(out_score, pa.float64())})
+            for term, c in vc.items():
+                ids.append(rid)
+                terms.append(term)
+                cs.append(int(c))
+                ntoks.append(len(ws))
+                dfp.append(1)               # this doc contributes df=1
+        tt = pa.array(terms, pa.string())
+        return pa.table({
+            "_h": pa.array(stable_str_hash(terms), pa.int64()),
+            "term": tt,
+            id_col: pa.array(ids, pa.int64()),
+            "c": pa.array(cs, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+            "df": pa.array(dfp, pa.int64()),
+        })
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype="object"),
+                                 "tfidf": pd.Series(dtype="float64"),
+                                 "_b2": pd.Series(dtype="int64")})
+        dfs = df.groupby("term", sort=False)["df"].sum()
+        per_term_df = dfs.loc[df["term"]].to_numpy(np.int64)
+        uniq, inv = np.unique(per_term_df, return_inverse=True)
+        idf = np.array([_math.log(n_docs / int(u)) for u in uniq])[inv]
+        tfidf = (df["c"].to_numpy(np.int64) / df["n_tok"].to_numpy(np.int64)
+                 ) * idf
+        ids = df[id_col].to_numpy(np.int64)
+        h = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pd.DataFrame({id_col: ids,
+                             "term": df["term"].to_numpy(dtype=object),
+                             "tfidf": tfidf,
+                             "_b2": (h ^ (h >> np.uint64(31)))
+                                    .view(np.int64)})
+
+    scored = bucketed_groupby(
+        ds.map_batches(explode, batch_format="pyarrow"), "_h",
+        lambda d: score_bucket(d.drop(columns=["_h"])),
+        num_buckets=num_buckets)
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([id_col, "tfidf", "term"],
+                            ascending=[True, False, True])
+        return df.groupby(id_col, sort=False).head(k)
+
+    out = bucketed_groupby(scored, "_b2",
+                           lambda d: topk_bucket(d.drop(columns=["_b2"])),
+                           num_buckets=num_buckets)
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(df["term"].tolist(), pa.string()),
+            "tfidf": pa.array(df["tfidf"].to_numpy(np.float64),
+                              pa.float64())})
+
+    return out.map_batches(to_arrow, batch_format="pandas")
 
 
 def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
