@@ -852,10 +852,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": """
             WITH tok AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\s+'))
-                         AS term,
-                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
-              FROM documents WHERE trim(text) <> ''
+                     unnest(regexp_extract_all(text, '\\S+')) AS term,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tok
+              FROM documents
             ),
             tf AS (
               SELECT doc_id, term, COUNT(*) AS c, MAX(n_tok) AS n_tok

@@ -200,68 +200,65 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
     Fully shuffle-based — NO vocabulary broadcast (a web-scale corpus has
     a heavy-tailed vocabulary far beyond broadcast size):
 
-    1. one explode pass emits per-doc (term, tf_count, n_tokens) rows AND
-       per-batch-distinct (term, df_partial) rows under one aligned
-       schema;
-    2. a bucketed shuffle on the term colocates each term's TF rows with
-       its DF partials — the per-bucket resolve sums the DF and scores
-       every TF row (scalar math.log over the few DISTINCT df values, so
-       the doubles are bit-identical to DuckDB's ln);
+    1. one explode pass emits one fused row per (doc, term):
+       (term, doc, tf_count, n_tokens) — DF needs no separate row kind,
+       each (doc, term) row contributes exactly 1 to its term's DF;
+    2. a bucketed shuffle on the term colocates each term's rows — the
+       per-bucket resolve counts rows per term (= DF, assuming unique doc
+       ids, the table's contract) and scores every row (scalar math.log
+       over the few DISTINCT df values, so the doubles are bit-identical
+       to DuckDB's ln);
     3. a second bucketed shuffle on the doc id takes the per-document
        top-k (tfidf desc, term asc).
 
     ``tf = count(t in d) / n_tokens(d)``, ``idf = ln(n_docs / df)``,
-    ``tfidf = tf * idf``. Tokenization is the whitespace split (shared
-    with token_vocab)."""
+    ``tfidf = tf * idf``. Tokenization is ASCII-whitespace splitting via
+    one extract-all regex per row set — chosen over Python ``str.split``
+    because RE2 semantics are shared verbatim with the SQL oracle
+    (Unicode-only whitespace like NBSP is NOT a separator on either
+    side)."""
     import math as _math
+    from collections import Counter
 
     from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
 
     n_docs = ds.count()
+    ws_re = re.compile(r"\S+")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, terms, cs, ntoks, dfp = [], [], [], [], []
+        ids, terms, cs, ntoks = [], [], [], []
         for rid, t in zip(batch[id_col].to_pylist(),
                           batch[text_col].to_pylist()):
-            ws = (t or "").split()
+            ws = ws_re.findall(t or "")
             if not ws:
                 continue
-            vc = pd.Series(ws).value_counts()
-            for term, c in vc.items():
+            for term, c in Counter(ws).items():
                 ids.append(rid)
                 terms.append(term)
-                cs.append(int(c))
+                cs.append(c)
                 ntoks.append(len(ws))
-                dfp.append(1)               # this doc contributes df=1
-        tt = pa.array(terms, pa.string())
         return pa.table({
             "_h": pa.array(stable_str_hash(terms), pa.int64()),
-            "term": tt,
+            "term": pa.array(terms, pa.string()),
             id_col: pa.array(ids, pa.int64()),
             "c": pa.array(cs, pa.int64()),
             "n_tok": pa.array(ntoks, pa.int64()),
-            "df": pa.array(dfp, pa.int64()),
         })
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                                  "term": pd.Series(dtype="object"),
-                                 "tfidf": pd.Series(dtype="float64"),
-                                 "_b2": pd.Series(dtype="int64")})
-        dfs = df.groupby("term", sort=False)["df"].sum()
-        per_term_df = dfs.loc[df["term"]].to_numpy(np.int64)
+                                 "tfidf": pd.Series(dtype="float64")})
+        dfs = df.groupby("term", sort=False)["term"].transform("size")
+        per_term_df = dfs.to_numpy(np.int64)
         uniq, inv = np.unique(per_term_df, return_inverse=True)
         idf = np.array([_math.log(n_docs / int(u)) for u in uniq])[inv]
         tfidf = (df["c"].to_numpy(np.int64) / df["n_tok"].to_numpy(np.int64)
                  ) * idf
-        ids = df[id_col].to_numpy(np.int64)
-        h = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        return pd.DataFrame({id_col: ids,
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
                              "term": df["term"].to_numpy(dtype=object),
-                             "tfidf": tfidf,
-                             "_b2": (h ^ (h >> np.uint64(31)))
-                                    .view(np.int64)})
+                             "tfidf": tfidf})
 
     scored = bucketed_groupby(
         ds.map_batches(explode, batch_format="pyarrow"), "_h",
@@ -275,8 +272,7 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
                             ascending=[True, False, True])
         return df.groupby(id_col, sort=False).head(k)
 
-    out = bucketed_groupby(scored, "_b2",
-                           lambda d: topk_bucket(d.drop(columns=["_b2"])),
+    out = bucketed_groupby(scored, id_col, topk_bucket,
                            num_buckets=num_buckets)
 
     def to_arrow(df: pd.DataFrame) -> pa.Table:

@@ -419,9 +419,11 @@ def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
-    """Per-document top-3 TF-IDF terms (distributed DF shuffle + broadcast
-    idf lookup) — DuckDB-oracled with raw doubles (int/int divisions and
-    scalar-log idf are IEEE-identical on both sides)."""
+    """Per-document top-3 TF-IDF terms, fully shuffle-based (term-keyed
+    DF/TF colocation, then doc-keyed top-k — no vocabulary broadcast) —
+    DuckDB-oracled with raw doubles (int/int divisions and scalar-log idf
+    are IEEE-identical on both sides; tokenization is the shared RE2
+    \\\\S+ extraction)."""
     from spel_ray.functions.text import tfidf_top_terms
     ds = _docs(sf_dir, ["doc_id", "text"])
     return tfidf_top_terms(ds, k=3).to_pandas() \
