@@ -50,27 +50,33 @@ def scrub_text(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
     return out
 
 
+def scrub_table(batch: pa.Table, *, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """One batch of the redaction pass — THE scrub definition (the Dataset
+    wrapper and the property tests both call this, so tests exercise the
+    exact production kernel). Counts ACTUAL replacements: matches of each
+    rule's pattern on the text as it stands before that rule's pass —
+    counting placeholder substrings afterwards would misattribute
+    pre-existing literal '<EMAIL>' etc. as redactions."""
+    cur = batch[text_col]
+    n = None
+    for _name, pattern, repl in SCRUB_RULES:
+        c = pc.count_substring_regex(cur, pattern)
+        n = c if n is None else pc.add(n, c)
+        cur = pc.replace_substring_regex(cur, pattern=pattern,
+                                         replacement=repl)
+    return pa.table({
+        id_col: batch[id_col],
+        "text": cur,
+        "n_redactions": pc.cast(n, pa.int64()),
+    })
+
+
 def scrub_documents(ds: ray.data.Dataset, *, text_col: str = "text",
                     id_col: str = "doc_id") -> ray.data.Dataset:
     """documents → (doc_id, text, n_redactions): the scrubbed text plus an
     observability count (curation pipelines audit how much was redacted —
     a cap that silently rewrites data is the thing the repo never does)."""
-    def f(batch: pa.Table) -> pa.Table:
-        # count ACTUAL replacements: matches of each rule's pattern on the
-        # text as it stands before that rule's pass — counting placeholder
-        # substrings afterwards would misattribute pre-existing literal
-        # '<EMAIL>' etc. as redactions (code-review r3b finding #5)
-        cur = batch[text_col]
-        n = None
-        for _name, pattern, repl in SCRUB_RULES:
-            c = pc.count_substring_regex(cur, pattern)
-            n = c if n is None else pc.add(n, c)
-            cur = pc.replace_substring_regex(cur, pattern=pattern,
-                                             replacement=repl)
-        return pa.table({
-            id_col: batch[id_col],
-            "text": cur,
-            "n_redactions": pc.cast(n, pa.int64()),
-        })
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: scrub_table(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
