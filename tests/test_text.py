@@ -138,3 +138,32 @@ def test_tfidf_top_terms_hand_computed():
     assert d3["date"] == (1 / 3) * math.log(3 / 1)
     assert d3["cherry"] == (2 / 3) * math.log(3 / 2)
     assert len(out) == 6        # k=2 per doc
+
+
+def test_tfidf_oracle_parity_edge_cases():
+    """Run the generated oracle SQL through DuckDB on deliberately nasty
+    inputs (trailing newline/tab, repeated terms, single-token doc,
+    empty doc) and compare to the engine."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from spel_ray.functions.text import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["apple\n", "apple pie\tpie", "pie", "",
+                 "zeta zeta zeta apple"],
+    })
+    eng = tfidf_top_terms(rd.from_arrow(docs), k=3).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = con.sql(entrymod.oracle_sql()["tfidf_top_terms"]).df() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert len(eng) == len(ora)
+    for c in ["doc_id", "term", "tfidf"]:
+        assert np.array_equal(eng[c].to_numpy(), ora[c].to_numpy()), c
+    assert 4 not in set(eng["doc_id"])      # empty doc emits nothing
