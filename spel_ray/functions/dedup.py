@@ -166,9 +166,15 @@ def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# hot-segment cap shared with the SQL oracle (__ray_entry__ models the
+# chain branch with the SAME constant, so oracle parity cannot silently
+# depend on no segment ever exceeding it — ADVICE r3 #1)
+SIMHASH_MAX_SEGMENT_ROWS = 2000
+
+
 def simhash_candidates(ds_with_simhash: ray.data.Dataset,
                        id_col: str = "doc_id", *, max_hamming: int = 3,
-                       max_segment_rows: int = 2000,
+                       max_segment_rows: int = SIMHASH_MAX_SEGMENT_ROWS,
                        num_buckets: int = 16) -> ray.data.Dataset:
     """Candidate near-dup pairs: block on each of 4 16-bit simhash segments
     (pigeonhole: hamming ≤ 3 ⇒ ≥1 intact segment), verify hamming ≤ k.

@@ -67,7 +67,7 @@ def scrub_table(batch: pa.Table, *, text_col: str = "text",
                                          replacement=repl)
     return pa.table({
         id_col: batch[id_col],
-        "text": cur,
+        text_col: cur,
         "n_redactions": pc.cast(n, pa.int64()),
     })
 
