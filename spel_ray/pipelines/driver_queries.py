@@ -363,6 +363,19 @@ def q_ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return ann_topk_ivf(ds, qm, qids, k=10, n_centroids=32, nprobe=20)
 
 
+def q_ann_topk_ivf_exact(sf_dir: str) -> pd.DataFrame:
+    """IVF with nprobe = n_centroids: every query probes every centroid, so
+    the index degenerates to exact brute force BY CONSTRUCTION — oracled
+    against the same SQL as ann_topk (the exactness-parameter trick that
+    oracled ann_topk_lsh in r3; VERDICT r3 "next round" #2). The tuned
+    approximate entry (ann_topk_ivf) stays alongside."""
+    from spel_ray.functions.similarity import ann_topk_ivf
+    qm, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann_topk_ivf(ds, qm, qids, k=10, n_centroids=32, nprobe=32)
+
+
 def q_ann_recall_lsh(sf_dir: str) -> pd.DataFrame:
     """recall@10 of the LSH ANN path vs the (oracled) brute force — the
     quantitative accuracy gate for the approximate index."""
@@ -392,6 +405,22 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     out = out[["id_lo", "id_hi", "cosine"]]
     out["cosine"] = out["cosine"].round(5)
     return out.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+
+def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document repeated-substring removal (Lee et al. 2022 style;
+    VERDICT r3 "next round" #6): non-overlapping 16-token chunk hashing →
+    per-chunk representative election (min doc_id keeps its copy, every
+    other document's occurrence is removed) → per-document rewrite with an
+    auditable removal ledger. DuckDB-oracled: the oracle re-derives the
+    chunks, the ≥2-distinct-docs duplication test, the election and the
+    reassembly in SQL."""
+    from spel_ray.functions.substring import dedup_repeated_substrings
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = dedup_repeated_substrings(ds, window=16, min_docs=2,
+                                    num_buckets=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:

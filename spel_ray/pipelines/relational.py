@@ -39,15 +39,18 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
                 "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            sum_revenue=("revenue", "sum"),
-            n_rows=("l_quantity", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        # Arrow-native partial (VERDICT r3 nit #5): revenue via pc kernels,
+        # grouped sums via pa.TableGroupBy — no pandas conversion in the
+        # wide per-batch stage.
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        g = batch.append_column("revenue", rev).group_by(
+            ["l_returnflag", "l_linestatus"]).aggregate([
+                ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                ("revenue", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+             "sum_revenue", "n_rows"])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(

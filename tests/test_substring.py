@@ -1,0 +1,99 @@
+"""Substring-level (cross-document repeated passage) exact dedup.
+
+A corpus with a planted boilerplate license block repeated across several
+otherwise-distinct documents (VERDICT r3 "next round" #6): the block must
+survive exactly once corpus-wide (in the min-doc_id representative), every
+other occurrence removed, with the removal ledger accounting for every
+dropped character. Chunk window is kept small so the planted block spans
+whole chunks deterministically.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.functions.substring import (dedup_repeated_substrings,
+                                          explode_chunks)
+
+# exactly 8 tokens = 2 chunks at window=4
+LICENSE = "copyright holder grants permission to use this software"
+UNIQUE = {
+    1: "alpha beta gamma delta epsilon zeta eta theta",
+    2: "one two three four five six seven eight",
+    3: "red orange yellow green blue indigo violet ultraviolet",
+}
+
+
+def _corpus():
+    return rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"{UNIQUE[1]} {LICENSE}",
+                 f"{LICENSE} {UNIQUE[2]}",
+                 f"{UNIQUE[3]} {LICENSE}",
+                 ""],                      # zero-token doc drops out
+    }))
+
+
+def test_explode_chunks_nonoverlapping_with_trailing_partial():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [7], "text": ["a b c d e f g h i j"]}))   # 10 tokens
+    out = explode_chunks(ds, window=4).to_pandas() \
+        .sort_values("chunk_idx").reset_index(drop=True)
+    assert list(out["chunk_idx"]) == [0, 1, 2]
+    assert list(out["chunk"]) == ["a b c d", "e f g h", "i j"]
+
+
+def test_planted_boilerplate_survives_exactly_once():
+    out = dedup_repeated_substrings(
+        _corpus(), window=4, min_docs=2, num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # the empty doc has no chunks and drops out entirely
+    assert list(out["doc_id"]) == [1, 2, 3]
+    by_id = out.set_index("doc_id")
+    # doc 1 is the min-doc_id representative: keeps everything
+    assert by_id.loc[1, "clean_text"] == f"{UNIQUE[1]} {LICENSE}"
+    assert by_id.loc[1, "n_chunks_removed"] == 0
+    # docs 2 and 3 lose both license chunks, keep their unique text
+    assert by_id.loc[2, "clean_text"] == UNIQUE[2]
+    assert by_id.loc[3, "clean_text"] == UNIQUE[3]
+    assert by_id.loc[2, "n_chunks_removed"] == 2
+    assert by_id.loc[3, "n_chunks_removed"] == 2
+    # the license appears exactly once corpus-wide after the rewrite
+    assert sum(LICENSE in t for t in out["clean_text"]) == 1
+    # ledger: removed chars = sum of the two dropped chunk texts' lengths
+    lic_chunks = ["copyright holder grants permission",
+                  "to use this software"]
+    expect = sum(len(c) for c in lic_chunks)
+    assert by_id.loc[2, "n_chars_removed"] == expect
+    assert by_id.loc[3, "n_chars_removed"] == expect
+    assert by_id.loc[1, "n_chars_removed"] == 0
+    # chunk accounting: n_chunks counts pre-removal chunks
+    assert list(by_id["n_chunks"]) == [4, 4, 4]
+
+
+def test_below_min_docs_threshold_keeps_everything():
+    out = dedup_repeated_substrings(
+        _corpus(), window=4, min_docs=4, num_buckets=4).to_pandas()
+    assert (out["n_chunks_removed"] == 0).all()
+    assert (out["n_chars_removed"] == 0).all()
+
+
+def test_doc_fully_boilerplate_rewrites_to_empty():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [5, 6],
+        "text": [f"{LICENSE} trailing words here now", LICENSE],
+    }))
+    out = dedup_repeated_substrings(ds, window=4, min_docs=2,
+                                    num_buckets=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[6, "clean_text"] == ""
+    assert out.loc[6, "n_chunks_removed"] == 2
+    assert LICENSE in out.loc[5, "clean_text"]
+
+
+def test_determinism_across_bucket_counts():
+    a = dedup_repeated_substrings(_corpus(), window=4, num_buckets=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dedup_repeated_substrings(_corpus(), window=4, num_buckets=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

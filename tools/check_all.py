@@ -1,0 +1,133 @@
+"""Local mirror of the driver's CORRECTNESS harness.
+
+Runs EVERY ``queries()`` entry against its ``oracle_sql()`` (DuckDB over the
+same parquet views) at the given scale factor and reports per-query
+rows / schema / value-hash matches — the same three checks the driver
+records. Run this before any round snapshot so the registry is frozen and
+verified (VERDICT r3 "next round" #1: a query must never ship without a
+current green row).
+
+Usage:  python tools/check_all.py [sf_dir] [--only name1,name2]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+import ray
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(df) -> pd.DataFrame:
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        h.update(df[c].astype(str).str.cat(sep="\x1f").encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf}/{t}.parquet')")
+
+    results: dict[str, dict] = {}
+    failed = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = _canon(fn(sf))
+        except Exception as e:          # noqa: BLE001
+            results[name] = {"err": f"query raised: {e!r}"}
+            failed += 1
+            print(f"FAIL {name}: query raised {e!r}")
+            continue
+        if name not in oracles:
+            ok = len(mine) >= 0
+            results[name] = {"rows": len(mine), "err": "no_oracle",
+                             "sec": round(time.time() - t0, 2)}
+            print(f"rows-only {name}: {len(mine)} rows")
+            continue
+        try:
+            oracle = _canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:          # noqa: BLE001
+            results[name] = {"err": f"oracle raised: {e!r}"}
+            failed += 1
+            print(f"FAIL {name}: oracle raised {e!r}")
+            continue
+        r = {
+            "match_rows": len(mine) == len(oracle),
+            "match_schema": list(mine.columns) == list(oracle.columns),
+            "match_hash": _value_hash(mine) == _value_hash(oracle),
+            "rows": len(mine), "oracle_rows": len(oracle),
+            "sec": round(time.time() - t0, 2),
+        }
+        results[name] = r
+        if not (r["match_rows"] and r["match_schema"] and r["match_hash"]):
+            failed += 1
+            print(f"FAIL {name}: rows={r['match_rows']} "
+                  f"schema={r['match_schema']} hash={r['match_hash']} "
+                  f"({len(mine)} vs {len(oracle)} rows)")
+            if not r["match_schema"]:
+                print(f"  mine:   {list(mine.columns)}")
+                print(f"  oracle: {list(oracle.columns)}")
+        else:
+            print(f"ok   {name} ({len(mine)} rows, {r['sec']}s)")
+
+    n_oracled = sum(1 for r in results.values()
+                    if "match_hash" in r)
+    n_green = sum(1 for r in results.values()
+                  if r.get("match_rows") and r.get("match_schema")
+                  and r.get("match_hash"))
+    print(f"\n{n_green}/{n_oracled} oracled green, "
+          f"{sum(1 for r in results.values() if r.get('err') == 'no_oracle')} "
+          f"rows-only, {failed} failures out of {len(results)}")
+    with open("/tmp/check_all_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    ray.shutdown()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

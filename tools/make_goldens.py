@@ -1,0 +1,64 @@
+"""Generate the committed golden-parquet driver oracles (VERDICT r3
+"next round" #4): the three deterministic-but-not-SQL-expressible queries
+(hashed-ngram candidate scorers, the ordered alignment walk) are snapshotted
+at the driver's sf0.01 scale; ``oracle_sql()`` reads the snapshot back via
+DuckDB ``read_parquet`` so the driver's rows/schema/hash checks apply.
+
+Regenerate ONLY when testdata or the operator semantics intentionally
+change — the whole point is that unintentional drift fails the hash.
+Each query is run at TWO parallelism levels and the snapshots are refused
+if they differ (determinism gate, mirroring tests/test_golden.py).
+
+Usage: python tools/make_goldens.py
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden", "driver")
+SF = "/root/testdata/sf0.01"
+QUERIES = ["candidate_resolution", "candidate_multigrain",
+           "align_segmentations"]
+
+_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from spel_ray.pipelines import driver_queries as dq
+df = getattr(dq, "q_" + {name!r})({sf!r})
+df.to_parquet({out!r}, index=False)
+ray.shutdown()
+"""
+
+
+def main() -> int:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    import pandas as pd
+    for name in QUERIES:
+        paths = {}
+        for cpus in (8, 16):
+            out = f"/tmp/golden_{name}_{cpus}.parquet"
+            code = _CHILD.format(repo=REPO, cpus=cpus, name=name, sf=SF,
+                                 out=out)
+            subprocess.run([sys.executable, "-c", code], check=True)
+            paths[cpus] = out
+        a = pd.read_parquet(paths[8])
+        b = pd.read_parquet(paths[16])
+        if not a.equals(b):
+            print(f"REFUSED {name}: output differs between num_cpus=8 and 16")
+            return 1
+        dest = os.path.join(GOLDEN_DIR, f"{name}.sf0_01.parquet")
+        a.to_parquet(dest, index=False)
+        print(f"wrote {dest} ({len(a)} rows, cols={list(a.columns)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
