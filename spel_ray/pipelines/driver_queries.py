@@ -423,6 +423,31 @@ def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """13-gram benchmark decontamination of the train split against the
+    test split (the GPT-3-appendix hygiene rule): every train document
+    annotated with its distinct-n-gram count, how many of those appear
+    anywhere in the test split, and the resulting contaminated flag.
+    DuckDB-oracled on the n-gram STRINGS (the engine works on 64-bit
+    rolling hashes; see functions/decontam.py for the collision note)."""
+    from spel_ray.functions.decontam import decontaminate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def part_of(batch: pa.Table, want_train: bool) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64).view(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(100)
+        mask = (h < 80) if want_train else (h >= 80)
+        return batch.filter(pa.array(mask))
+
+    train = ds.map_batches(lambda b: part_of(b, True),
+                           batch_format="pyarrow")
+    test = ds.map_batches(lambda b: part_of(b, False),
+                          batch_format="pyarrow")
+    out = decontaminate(train, test, n=13).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_chunk_neardup(sf_dir: str) -> pd.DataFrame:
     """Record pairs sharing a near-duplicate text chunk (partial-document
     duplication — whole-doc MinHash misses these). DuckDB-oracled: the

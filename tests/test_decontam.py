@@ -1,0 +1,84 @@
+"""Benchmark decontamination: planted 13-gram overlap between a training
+corpus and a benchmark set must be flagged, with exact distinct-n-gram
+accounting; clean documents and short documents must pass through
+untouched."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.functions.decontam import (_batch_ngram_hashes,
+                                         benchmark_ngram_hashes,
+                                         decontaminate)
+
+# exactly 13 tokens — one n-gram at n=13
+LEAK = "the quick brown fox jumps over the lazy dog near the old barn"
+CLEAN = ("completely original sentence about distributed query engines "
+         "and arrow batches flowing through actor pools without any "
+         "overlap whatsoever")
+
+
+def _bench():
+    return rd.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": [f"benchmark prefix words {LEAK} benchmark suffix words",
+                 "another benchmark document with its own content only"],
+    }))
+
+
+def _train():
+    return rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"intro text {LEAK} outro text",   # contaminated
+                 CLEAN,                             # clean, >13 tokens
+                 "short doc",                       # < n tokens: 0 n-grams
+                 None],                             # null text
+    }))
+
+
+def test_planted_leak_flagged_and_counted():
+    out = decontaminate(_train(), _bench(), n=13).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    # doc 1 has (2 + 13 + 2) = 17 tokens -> 5 windows, all distinct;
+    # exactly one of them (the planted LEAK) appears in the benchmark
+    assert out.loc[1, "n_ngrams"] == 5
+    assert out.loc[1, "n_contaminated"] == 1
+    assert not out.loc[2, "contaminated"]
+    assert out.loc[2, "n_contaminated"] == 0
+    assert out.loc[3, "n_ngrams"] == 0
+    assert not out.loc[3, "contaminated"]
+    assert out.loc[4, "n_ngrams"] == 0
+    assert not out.loc[4, "contaminated"]
+
+
+def test_no_overlap_when_benchmark_disjoint():
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [9], "text": ["totally disjoint benchmark text body"]}))
+    out = decontaminate(_train(), bench, n=3).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_distinct_ngrams_counted_once():
+    # the same 3-gram repeated: "a b c a b c a b c" -> windows
+    # [abc, bca, cab, abc, bca, cab, abc] -> 3 distinct
+    ds = rd.from_arrow(pa.table({"doc_id": [7],
+                                 "text": ["a b c a b c a b c"]}))
+    bench = rd.from_arrow(pa.table({"doc_id": [8], "text": ["a b c"]}))
+    out = decontaminate(ds, bench, n=3).to_pandas()
+    assert out.loc[0, "n_ngrams"] == 3
+    assert out.loc[0, "n_contaminated"] == 1   # only "a b c" is in bench
+
+
+def test_kernel_windows_do_not_cross_doc_boundaries():
+    texts = pd.Series(["a b c", "d e f"])
+    rows, h = _batch_ngram_hashes(texts, 3)
+    assert list(rows) == [0, 1]                # one window per doc, no
+    assert len(np.unique(h)) == 2              # "c d e"-style bridges
+
+
+def test_benchmark_hashes_sorted_distinct():
+    b = benchmark_ngram_hashes(_bench(), n=13)
+    assert b.dtype == np.uint64
+    assert (np.diff(b.astype(np.float64)) > 0).all()
