@@ -1,0 +1,157 @@
+"""Model-output markup parser: ``<mark data-entity=...>`` annotations →
+character spans (M11, the one reference component previously documented
+as not ported).
+
+The reference's external-LLM baseline asks a chat model to re-emit the
+input with entity mentions wrapped in ``<mark data-entity="...">`` tags,
+then recovers (start, end, entity) character spans by walking the ORIGINAL
+text left-to-right with a cursor, locating each marked surface string at
+its first occurrence at-or-after the cursor (reference
+``src/openai_gpt/utils.py:122-148``). This module reimplements exactly
+that parse as a deterministic, dependency-free batch operator — the LLM
+call itself is out of scope (no network in this engine; any column of
+markup strings works, wherever it came from):
+
+- tags with no ``data-entity`` attribute are skipped (reference KeyError
+  branch), as are tags with empty/no surface text (TypeError branch);
+- a surface string not found at-or-after the cursor is skipped WITHOUT
+  advancing the cursor (reference ``if match:`` fall-through);
+- chain-of-thought outputs wrap the answer in ``<result>...</result>``;
+  with ``cot=True`` only the first such block is parsed and a missing
+  block yields no spans (reference ``soup.find('result')`` + the
+  ``markups if soup is not None else []`` guard).
+
+The markup grammar is the reference's own prompt format (double-quoted
+``data-entity`` as the tag's first attribute), so a regex parse is exact —
+no HTML library needed on the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MARK_RE = re.compile(
+    r"<mark\s+([^>]*?)>(.*?)</mark>", re.DOTALL | re.IGNORECASE)
+_ENTITY_RE = re.compile(r'data-entity\s*=\s*"([^"]*)"', re.IGNORECASE)
+_RESULT_RE = re.compile(r"<result>(.*?)</result>", re.DOTALL | re.IGNORECASE)
+
+
+def parse_spans(markup: str, context: str, *, cot: bool = False
+                ) -> list[tuple[int, int, str, str]]:
+    """One document's markup → [(start, end, entity, surface)], the
+    reference's sequential-cursor alignment against ``context``."""
+    if cot:
+        m = _RESULT_RE.search(markup or "")
+        if m is None:
+            return []
+        markup = m.group(1)
+    out: list[tuple[int, int, str, str]] = []
+    cur = 0
+    for m in _MARK_RE.finditer(markup or ""):
+        ent_m = _ENTITY_RE.search(m.group(1))
+        if ent_m is None:               # no data-entity attr: skip
+            continue
+        surface = m.group(2)
+        if not surface:                 # empty/no surface text: skip
+            continue
+        pos = (context or "").find(surface, cur)
+        if pos < 0:                     # not found after cursor: skip,
+            continue                    # cursor does NOT advance
+        out.append((pos, pos + len(surface), ent_m.group(1), surface))
+        cur = pos + len(surface)
+    return out
+
+
+def resolve_mentions(spans: ray.data.Dataset, vocab: list[str], *,
+                     surface_col: str = "surface",
+                     special_cases: dict[str, str] | None = None,
+                     blocklist: frozenset[str] = frozenset()
+                     ) -> ray.data.Dataset:
+    """Surface string → canonical vocab entry (the second half of M11,
+    reference ``src/openai_gpt/evaluate_local.py:15-34``): lowercase the
+    surface, try the caller's special cases, then an exact hit in the
+    lowered vocab (``Entity_Name`` → ``entity name``), and finally — for
+    surfaces not on the generic-type ``blocklist`` — a substring scan
+    whose FIRST match wins. The reference builds its lowered dictionary
+    from a set (nondeterministic iteration); here the scan order is the
+    sorted lowered keys so resolution is deterministic and
+    run-reproducible. Unresolved surfaces get ``resolved = ''``.
+
+    The vocab (an entity inventory, ~100k strings) is the classic small
+    broadcast side: shipped once via ``ray.put``, the lowered dict built
+    once per actor-process on first batch, never per row."""
+    cases = {k.lower(): v for k, v in (special_cases or {}).items()}
+    vocab_ref = ray.put(sorted(vocab))
+
+    _state: dict = {}
+
+    def f(batch: pa.Table) -> pa.Table:
+        if not _state:                   # once per worker process
+            lowered: dict[str, str] = {}
+            for k in ray.get(vocab_ref):
+                lowered.setdefault(k.lower().replace("_", " "), k)
+            _state["lowered"] = lowered
+            _state["keys"] = sorted(lowered)
+        lowered, keys = _state["lowered"], _state["keys"]
+
+        def resolve(surface: str) -> str:
+            m = (surface or "").lower()
+            if m in cases:
+                return cases[m]
+            if m in lowered:
+                return lowered[m]
+            if m in blocklist or not m:
+                return ""
+            for y in keys:               # substring fallback, first match
+                if m in y:
+                    return lowered[y]
+            return ""
+
+        out = [resolve(s) for s in batch[surface_col].to_pylist()]
+        return batch.append_column("resolved", pa.array(out, pa.string()))
+
+    return spans.map_batches(f, batch_format="pyarrow")
+
+
+def parse_markup_spans(ds: ray.data.Dataset, *,
+                       markup_col: str = "markup",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       cot: bool = False) -> ray.data.Dataset:
+    """Explode each document's markup into span rows
+    (id, span_idx, start, end, entity, surface). Documents whose markup
+    yields no spans emit nothing. A pure per-row parse (regex + substring
+    find, no state across rows) — embarrassingly parallel, shuffle-free."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        idx_out: list[int] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        ents: list[str] = []
+        surfs: list[str] = []
+        for rid, mk, tx in zip(batch[id_col].to_pylist(),
+                               batch[markup_col].to_pylist(),
+                               batch[text_col].to_pylist()):
+            for k, (s, e, ent, surf) in enumerate(
+                    parse_spans(mk, tx, cot=cot)):
+                ids_out.append(rid)
+                idx_out.append(k)
+                starts.append(s)
+                ends.append(e)
+                ents.append(ent)
+                surfs.append(surf)
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "span_idx": pa.array(idx_out, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+            "entity": pa.array(ents, pa.string()),
+            "surface": pa.array(surfs, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -423,6 +423,35 @@ def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gpt_span_parse(sf_dir: str) -> pd.DataFrame:
+    """M11 end-to-end: deterministic synthetic model-output markup (the
+    first two whitespace tokens of each document wrapped in
+    ``<mark data-entity>`` tags — a stand-in for the external LLM this
+    engine does not call) parsed back into character spans with the
+    reference's sequential-cursor alignment. DuckDB-oracled: strpos
+    arithmetic reproduces the cursor walk exactly (char-based on both
+    sides)."""
+    from spel_ray.functions.markup import parse_markup_spans
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def synth_markup(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas().fillna("")
+        toks = texts.str.findall(r"\S+")
+        mk = [
+            (f'<p><mark data-entity="B-ORG">{w[0]}</mark> and '
+             f'<mark data-entity="B-LOC">{w[1]}</mark></p>')
+            if len(w) >= 2 else "<p></p>"
+            for w in toks
+        ]
+        return batch.append_column("markup", pa.array(mk, pa.string()))
+
+    spans = parse_markup_spans(
+        ds.map_batches(synth_markup, batch_format="pyarrow"))
+    return spans.to_pandas().sort_values(["doc_id", "span_idx"]) \
+        .reset_index(drop=True)
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """13-gram benchmark decontamination of the train split against the
     test split (the GPT-3-appendix hygiene rule): every train document

@@ -1,0 +1,94 @@
+"""M11 markup-span parser: the reference's sequential-cursor alignment of
+``<mark data-entity>`` model output against the original text, including
+every skip branch (missing attribute, empty surface, surface not found
+after the cursor) and the chain-of-thought ``<result>`` unwrap."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from spel_ray.functions.markup import parse_markup_spans, parse_spans
+
+CTX = "Apple opened a store in Berlin near another Apple campus"
+
+
+def test_basic_two_spans_with_cursor_advance():
+    mk = ('<p><mark data-entity="ORG">Apple</mark> opened a store in '
+          '<mark data-entity="LOC">Berlin</mark></p>')
+    assert parse_spans(mk, CTX) == [
+        (0, 5, "ORG", "Apple"), (24, 30, "LOC", "Berlin")]
+
+
+def test_repeated_surface_resolves_left_to_right():
+    mk = ('<mark data-entity="ORG">Apple</mark> x '
+          '<mark data-entity="ORG2">Apple</mark>')
+    spans = parse_spans(mk, CTX)
+    assert spans[0][:2] == (0, 5)
+    assert spans[1][:2] == (44, 49)        # second occurrence, after cursor
+    assert CTX[44:49] == "Apple"
+
+
+def test_missing_entity_attr_skipped():
+    mk = ('<mark class="x">Apple</mark> '
+          '<mark data-entity="LOC">Berlin</mark>')
+    assert parse_spans(mk, CTX) == [(24, 30, "LOC", "Berlin")]
+
+
+def test_empty_surface_skipped():
+    mk = '<mark data-entity="ORG"></mark><mark data-entity="LOC">Berlin</mark>'
+    assert parse_spans(mk, CTX) == [(24, 30, "LOC", "Berlin")]
+
+
+def test_unfindable_surface_skipped_without_cursor_advance():
+    mk = ('<mark data-entity="X">Paris</mark>'
+          '<mark data-entity="ORG">Apple</mark>')
+    # Paris is not in the context: skipped, and Apple still matches at 0
+    assert parse_spans(mk, CTX) == [(0, 5, "ORG", "Apple")]
+
+
+def test_cot_unwraps_result_block():
+    mk = ('thinking... <mark data-entity="NO">Apple</mark> '
+          '<result><mark data-entity="ORG">Apple</mark></result> after')
+    assert parse_spans(mk, CTX, cot=True) == [(0, 5, "ORG", "Apple")]
+    # missing <result> block in cot mode -> no spans at all
+    assert parse_spans('<mark data-entity="ORG">Apple</mark>', CTX,
+                       cot=True) == []
+
+
+def test_none_markup_and_none_context():
+    assert parse_spans(None, CTX) == []
+    assert parse_spans('<mark data-entity="O">x</mark>', None) == []
+
+
+def test_dataset_explode_shape():
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": [CTX, "no tags here"],
+        "markup": ['<mark data-entity="ORG">Apple</mark> and '
+                   '<mark data-entity="LOC">Berlin</mark>', "plain"],
+    }))
+    out = parse_markup_spans(ds).to_pandas() \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 1]
+    assert list(out["span_idx"]) == [0, 1]
+    assert list(out["entity"]) == ["ORG", "LOC"]
+    assert list(out["start"]) == [0, 24]
+    assert list(out["end"]) == [5, 30]
+
+
+def test_resolve_mentions_exact_special_and_fallback():
+    from spel_ray.functions.markup import resolve_mentions
+    spans = rd.from_arrow(pa.table({
+        "surface": ["United States", "u.s.", "Berlin", "person", "Berl",
+                    "nowhere at all"],
+    }))
+    out = resolve_mentions(
+        spans, vocab=["United_States", "Berlin", "Berlin_Wall"],
+        special_cases={"u.s.": "United_States"},
+        blocklist=frozenset({"person"})).to_pandas()
+    r = dict(zip(out["surface"], out["resolved"]))
+    assert r["United States"] == "United_States"     # exact lowered hit
+    assert r["u.s."] == "United_States"              # special case
+    assert r["Berlin"] == "Berlin"
+    assert r["person"] == ""                         # blocklisted: no scan
+    assert r["Berl"] == "Berlin"                     # substring, sorted-first
+    assert r["nowhere at all"] == ""
