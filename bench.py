@@ -71,7 +71,8 @@ def run_bench() -> dict:
     micro = ["lineitem_agg", "orders_customer_join", "events_window",
              "top_orders", "exact_dedup_docs", "minhash_dedup_docs",
              "ann_topk", "sessionize", "curation_basic",
-             "align_segmentations"]
+             "align_segmentations", "tfidf_top_terms", "substring_dedup",
+             "decontaminate"]
 
     # INTERLEAVED repetitions (VERDICT r2 'next round' #7): rep r times the
     # headline then every micro query, so a transient slowdown hits one rep

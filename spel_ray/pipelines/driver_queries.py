@@ -886,3 +886,19 @@ def q_union_names(sf_dir: str) -> pd.DataFrame:
     u = r.map_batches(lambda b: rn(b, "r_name"), batch_format="pyarrow").union(
         n.map_batches(lambda b: rn(b, "n_name"), batch_format="pyarrow"))
     return u.to_pandas().sort_values("name").reset_index(drop=True)
+
+
+def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
+    """Blocking-quality metrics over the flagship linkage run (Christen 2012
+    record-linkage evaluation: reduction ratio, sample-based pairs
+    completeness / quality) — DuckDB-oracled end to end: the oracle
+    re-derives the deterministic sample, the all-pairs truth scores from
+    csig/tsig, and the candidate∩sample counts from the same scored CTE the
+    linkage oracle is built on."""
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+    from spel_ray.stages.evaluate import blocking_quality
+
+    cfg = LinkageConfig(use_verifier=False)
+    res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
+    return blocking_quality(res.records, res.pairs, cfg, sample_size=128)

@@ -246,3 +246,140 @@ def evaluate_clusters(pairs: ray.data.Dataset, clusters: ray.data.Dataset,
     out.update(macro_pairwise_f1(pdf))
     out["n_pairs"] = len(pdf)
     return out
+
+
+def blocking_quality(records: ray.data.Dataset, pairs: ray.data.Dataset,
+                     cfg=None, *, sample_size: int = 128,
+                     strong_threshold: float = 0.8) -> pd.DataFrame:
+    """Blocking-quality metrics — the standard record-linkage evaluation of a
+    blocking scheme (Christen 2012: reduction ratio, pairs completeness,
+    pairs quality; ≙ the reference's candidate-set coverage concern,
+    ``candidate_manager.py:76-103`` — a candidate set that misses gold
+    entities caps recall exactly like blocking that misses true pairs).
+
+    - **reduction ratio** (global): 1 − |candidate pairs| / C(n, 2) — how
+      much of the quadratic comparison space the blocking pruned.
+    - **pairs completeness / quality** (sample-based): ground truth is the
+      engine's own pair-score function applied to ALL pairs of a
+      deterministic ``sample_size``-record sample (Knuth multiplicative-hash
+      rank; odd multiplier ⇒ rank is a bijection of the id, so the sample is
+      unique and reproducible). Truth = exact-sha or score ≥ threshold;
+      completeness = fraction of truth pairs the blocking surfaced, quality
+      = fraction of surfaced sample pairs that are truth. Sample-based truth
+      is how ER practice evaluates blocking when no labeled corpus exists —
+      exhaustive truth is the very O(n²) the blocking avoids.
+    - **strong variants**: the decision threshold admits pairs whose score
+      is carried by token-set similarity alone (shared vocabulary in
+      template-heavy prose), which the char-shingle LSH bands — by design —
+      do not block on; ``pairs_completeness_strong`` re-reads the same
+      counts at ``strong_threshold`` (real near-duplicates, where shingle
+      collisions make the bands effective), so the pair of numbers
+      separates "the blend disagrees with the blocker on marginal pairs"
+      from "the blocker misses near-dups".
+
+    Scale shape: the two global counts are streamed aggregates; the sample
+    is a two-stage top-k (per-batch partial top-``sample_size`` by rank →
+    driver final), so the driver holds O(n_batches × sample_size) slim rows;
+    sample sketches are recomputed driver-side through the SAME MinHasher
+    code path the distributed stage uses; the candidate∩sample filter is a
+    broadcast sorted-id semi-join inside map_batches. Nothing materializes
+    the pair table or the input.
+    """
+    from spel_ray.config import LinkageConfig
+    from spel_ray.stages.minhash import MinHasher, sig_dtype
+    from spel_ray.stages.scoring import score_pair_arrays
+
+    cfg = cfg or LinkageConfig()
+    mult = np.uint64(2654435761)
+
+    n_records = records.count()
+    n_cand = pairs.count()
+
+    sample_cols = ["row_id", "norm_content", "n_chars", "content_sha256"]
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["row_id"], dtype=np.int64).view(np.uint64)
+        rank = ids * mult            # uint64 wraparound
+        order = np.argsort(rank, kind="stable")[:sample_size]
+        return batch.select(sample_cols).take(
+            pa.array(order.astype(np.int64)))
+
+    parts = (records.map_batches(local_top, batch_format="pyarrow")
+             .to_pandas())
+    ranks = parts["row_id"].to_numpy(np.int64).view(np.uint64) * mult
+    parts = parts.iloc[np.argsort(ranks, kind="stable")[:sample_size]] \
+        .reset_index(drop=True)
+    s = len(parts)
+
+    mh = MinHasher(cfg)
+    dt = sig_dtype(cfg)
+    texts = parts["norm_content"].fillna("").tolist()
+    sigs = np.stack([mh.signature(t).astype(dt) for t in texts]) \
+        if s else np.zeros((0, cfg.num_perm), dt)
+    toks = np.stack([mh.token_signature(t).astype(dt) for t in texts]) \
+        if s else np.zeros((0, cfg.num_perm_tok), dt)
+    n_chars = parts["n_chars"].to_numpy(np.int64)
+    sha = parts["content_sha256"].to_numpy()
+
+    lo, hi = np.triu_indices(s, k=1)
+    thr = cfg.score_threshold
+    if len(lo):
+        _, exact, score = score_pair_arrays(
+            cfg, sig_lo=sigs[lo], sig_hi=sigs[hi],
+            tok_lo=toks[lo], tok_hi=toks[hi],
+            n_lo=n_chars[lo], n_hi=n_chars[hi],
+            sha_eq=(sha[lo] == sha[hi]))
+        n_truth = int((exact | (score >= thr)).sum())
+        n_truth_strong = int((exact | (score >= strong_threshold)).sum())
+    else:
+        n_truth = n_truth_strong = 0
+
+    sample_ids = np.sort(parts["row_id"].to_numpy(np.int64))
+    ids_ref = ray.put(sample_ids)
+
+    def sample_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = ray.get(ids_ref)
+        plo = batch.column("id_lo").to_numpy()
+        phi = batch.column("id_hi").to_numpy()
+        _, lo_hit = _sorted_get(k, k, plo.astype(np.int64, copy=False))
+        _, hi_hit = _sorted_get(k, k, phi.astype(np.int64, copy=False))
+        m = batch.filter(pa.array(lo_hit & hi_hit))
+        matched = pc.or_(m["exact"], pc.greater_equal(m["score"], thr))
+        strong = pc.or_(m["exact"],
+                        pc.greater_equal(m["score"], strong_threshold))
+        return pa.table({
+            "n_cand_sample": pa.array([m.num_rows], pa.int64()),
+            "n_matched": pa.array(
+                [pc.sum(pc.cast(matched, pa.int64())).as_py() or 0],
+                pa.int64()),
+            "n_matched_strong": pa.array(
+                [pc.sum(pc.cast(strong, pa.int64())).as_py() or 0],
+                pa.int64()),
+        })
+
+    cparts = pairs.map_batches(sample_counts,
+                               batch_format="pyarrow").take_all()
+    n_cand_sample = sum(p["n_cand_sample"] for p in cparts)
+    n_matched = sum(p["n_matched"] for p in cparts)
+    n_matched_strong = sum(p["n_matched_strong"] for p in cparts)
+
+    total = n_records * (n_records - 1) / 2.0
+    return pd.DataFrame({
+        "n_records": pd.Series([n_records], dtype="int64"),
+        "n_candidate_pairs": pd.Series([n_cand], dtype="int64"),
+        "n_sample": pd.Series([s], dtype="int64"),
+        "n_truth_sample": pd.Series([n_truth], dtype="int64"),
+        "n_truth_strong": pd.Series([n_truth_strong], dtype="int64"),
+        "n_cand_sample": pd.Series([n_cand_sample], dtype="int64"),
+        "n_matched_sample": pd.Series([n_matched], dtype="int64"),
+        "n_matched_strong": pd.Series([n_matched_strong], dtype="int64"),
+        "reduction_ratio": [1.0 - n_cand / total if total else 1.0],
+        "pairs_completeness": [n_matched / float(n_truth)
+                               if n_truth else 1.0],
+        "pairs_completeness_strong": [
+            n_matched_strong / float(n_truth_strong)
+            if n_truth_strong else 1.0],
+        "pairs_quality": [n_matched / float(n_cand_sample)
+                          if n_cand_sample else 1.0],
+    })

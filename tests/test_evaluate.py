@@ -136,3 +136,51 @@ def test_eval_collects_only_labeled_pairs():
     assert m["n_pairs"] == 2
     assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 0, 0, 1)
     assert m["f1"] == 1.0
+
+
+def test_blocking_quality_on_labeled_corpus(small_code_table):
+    """Blocking-quality metrics over the 1000-row labeled corpus: the code
+    table's mutation families are real near-duplicates, so the strong
+    (near-dup) truth must be non-empty and fully recovered by the LSH
+    blocking — the same property the F1 gate asserts from the clustering
+    side — while the reduction ratio shows the quadratic space was pruned."""
+    from spel_ray.config import LinkageConfig
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.stages.evaluate import blocking_quality
+
+    ds = rd.from_arrow(small_code_table.drop_columns(["ancestor_id"]))
+    cfg = LinkageConfig()
+    res = run_linkage(ds, cfg, num_buckets=8)
+    bq = blocking_quality(res.records, res.pairs, cfg, sample_size=256)
+
+    row = bq.iloc[0]
+    assert row["n_records"] == 1000
+    assert row["n_sample"] == 256
+    # sample pairs: C(256, 2)
+    assert row["n_truth_sample"] <= 256 * 255 // 2
+    assert row["n_truth_strong"] > 0, "sample missed every mutation family"
+    assert row["pairs_completeness_strong"] == 1.0, bq.T
+    assert row["pairs_completeness"] >= 0.9, bq.T
+    assert 0.9 <= row["reduction_ratio"] <= 1.0
+    assert 0.0 <= row["pairs_quality"] <= 1.0
+    # counts are internally consistent
+    assert row["n_matched_sample"] <= row["n_cand_sample"]
+    assert row["n_matched_sample"] <= row["n_truth_sample"]
+
+
+def test_blocking_quality_sample_deterministic(small_code_table):
+    """The Knuth-rank sample is a pure function of row ids — re-running with
+    a different bucket count must reproduce identical metric values."""
+    from spel_ray.config import LinkageConfig
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.stages.evaluate import blocking_quality
+
+    ds = rd.from_arrow(small_code_table.drop_columns(["ancestor_id"]))
+    cfg = LinkageConfig()
+    a = blocking_quality(run_linkage(ds, cfg, num_buckets=8).records,
+                         run_linkage(ds, cfg, num_buckets=8).pairs,
+                         cfg, sample_size=64)
+    b = blocking_quality(run_linkage(ds, cfg, num_buckets=4).records,
+                         run_linkage(ds, cfg, num_buckets=4).pairs,
+                         cfg, sample_size=64)
+    pd.testing.assert_frame_equal(a, b)
