@@ -902,3 +902,61 @@ def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
     cfg = LinkageConfig(use_verifier=False)
     res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
     return blocking_quality(res.records, res.pairs, cfg, sample_size=128)
+
+
+def q_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Cluster-size histogram of the flagship linkage over documents — the
+    A5 metric-bundle observability (``pipelines.linkage.cluster_report``)
+    surfaced as an oracled driver query. The report is built from
+    num_buckets tiny per-bucket summaries (each cluster lives wholly in one
+    bucket), never one driver row per cluster."""
+    from spel_ray.pipelines.linkage import cluster_report, run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+
+    cfg = LinkageConfig(use_verifier=False)
+    res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
+    hist = cluster_report(res, num_buckets=8)["size_histogram"]
+    return pd.DataFrame({
+        "size": pd.Series(sorted(hist), dtype="int64"),
+        "n_clusters": pd.Series([hist[k] for k in sorted(hist)],
+                                dtype="int64"),
+    })
+
+
+def q_linkage_docs_incremental(sf_dir: str) -> pd.DataFrame:
+    """The incremental-ingest path under the driver gate: cluster the 80%
+    Knuth-hash split of documents, then absorb the 20% as a delta via
+    ``incremental_link`` (old-old pairs skipped; previous clusters carried
+    as membership edges). The combined clusters must equal the full-corpus
+    flagship run — the oracle IS the ``linkage_docs`` SQL — which pins the
+    daily-delta resume shape to the same value-level gate as the batch
+    path."""
+    from spel_ray.pipelines.incremental import incremental_link
+    from spel_ray.pipelines.linkage import run_linkage
+    from spel_ray.sources.code_table import documents_as_code_table
+    from spel_ray.stages.blocking import block_keys
+
+    cfg = LinkageConfig(use_verifier=False)
+
+    def split(keep_base: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            # commit == str(doc_id) in the adapted table: the SAME
+            # multiplicative 80/20 rule as q_train_split
+            ids = np.asarray(pc.cast(batch["commit"], pa.int64()),
+                             dtype=np.int64).view(np.uint64)
+            h = (ids * np.uint64(2654435761)) % np.uint64(100)
+            mask = (h < 80) if keep_base else (h >= 80)
+            return batch.filter(pa.array(mask))
+        return f
+
+    base_ds = documents_as_code_table(sf_dir).map_batches(
+        split(True), batch_format="pyarrow")
+    inc_ds = documents_as_code_table(sf_dir).map_batches(
+        split(False), batch_format="pyarrow")
+
+    base = run_linkage(base_ds, cfg, num_buckets=8)
+    base_blocks = block_keys(base.records, cfg).materialize()
+    inc = incremental_link(inc_ds, base_blocks, base.clusters, cfg,
+                           num_buckets=8)
+    return inc.clusters.to_pandas().sort_values("row_id") \
+        .reset_index(drop=True)

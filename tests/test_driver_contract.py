@@ -42,7 +42,8 @@ def test_every_oracle_has_a_query():
 # fast, representative subset (the full matrix runs in the driver)
 ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "union_names", "sessionize", "token_counts", "doc_lengths",
-           "ann_topk", "events_window", "asof_join", "train_split"]
+           "ann_topk", "events_window", "asof_join", "train_split",
+           "blocking_quality", "cluster_sizes", "linkage_docs_incremental"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
