@@ -85,7 +85,15 @@ class LinkageIndex:
 
     def __init__(self, cfg: LinkageConfig, block_rows: pa.Table):
         self.cfg = cfg
-        f = _features(block_rows, cfg)
+        self._sketch = MinHasher(cfg)
+        self._explode = BlockKeyExploder(cfg)
+        self._scorer = get_scorer(cfg.scorer)
+        self._delta: "LinkageIndex | None" = None
+        self._load(block_rows)
+
+    def _load(self, block_rows: pa.Table) -> None:
+        """(Re)build the sorted probe arrays from exploded block rows."""
+        f = _features(block_rows, self.cfg)
         order = np.argsort(f["block_key"], kind="stable")
         self._keys = f["block_key"][order]
         self._row_id = f["row_id"][order]
@@ -102,9 +110,26 @@ class LinkageIndex:
                            for k, s, e in zip(self._keys[change], change, ends)}
         else:
             self._index = {}
-        self._sketch = MinHasher(cfg)
-        self._explode = BlockKeyExploder(cfg)
-        self._scorer = get_scorer(cfg.scorer)
+
+    def _to_rows(self) -> pa.Table:
+        """Probe arrays → the block-rows table they were loaded from (pure
+        buffer repacking; used by compaction so the index never has to
+        retain its input table alongside the arrays)."""
+        cfg = self.cfg
+        n = len(self._keys)
+
+        def fsb(arr, width):
+            return pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), n, [None, pa.py_buffer(arr.tobytes())])
+
+        return pa.table({
+            "block_key": pa.array(self._keys, pa.int64()),
+            "row_id": pa.array(self._row_id, pa.int64()),
+            "sig": fsb(self._sig, cfg.num_perm * cfg.sig_bytes),
+            "sig_tok": fsb(self._sig_tok, cfg.num_perm_tok * cfg.sig_bytes),
+            "n_chars": pa.array(self._n_chars, pa.int64()),
+            "sha16": fsb(self._sha16, 16),
+        })
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -167,7 +192,42 @@ class LinkageIndex:
         f = _sketch_query_features(self.cfg, self._sketch, self._explode,
                                    content, lang)
         hits = self._hits_from_features(f, thr, k)
+        if self._delta is not None:
+            # main and delta hold disjoint row sets and score with the same
+            # function, so merging their top-k's by (score desc, row_id)
+            # reproduces the top-k of a single merged index exactly
+            hits = sorted(hits + self._delta._hits_from_features(f, thr, k),
+                          key=lambda h: (-h["score"], h["row_id"]))[:k]
         return [{**h, "score": round(h["score"], 6)} for h in hits]
+
+    # --------------------------------------------------------------- upsert
+    def add(self, records: pa.Table, *, compact_ratio: float = 0.25) -> int:
+        """Online upsert: absorb new code-table rows (repo, path, commit,
+        lang, content) into the live index without a rebuild — the serving
+        analog of ``pipelines.incremental.incremental_link``'s daily-delta
+        ingest (reference analog: the fixed candidate sets are static at
+        serve time, ``candidate_manager.py:30-56``; this engine's index can
+        follow the corpus instead).
+
+        LSM-style: new rows are sketched through the SAME stages as the
+        corpus build and appended to a small delta segment (rebuilt per add
+        — the delta is bounded by ``compact_ratio`` × main); probes fan out
+        to main + delta and merge exactly (disjoint row sets, same scorer).
+        When the delta outgrows ``compact_ratio`` of main, it is compacted
+        into the main arrays in one sorted rebuild. Returns the number of
+        records absorbed."""
+        rows = self._explode(self._sketch(fingerprint_batch(
+            records, strip_comments=self.cfg.strip_comments)))
+        if self._delta is None:
+            self._delta = LinkageIndex(self.cfg, rows)
+        else:
+            self._delta._load(pa.concat_tables(
+                [self._delta._to_rows(), rows]))
+        if len(self._delta._keys) > compact_ratio * max(len(self._keys), 1):
+            self._load(pa.concat_tables([self._to_rows(),
+                                         self._delta._to_rows()]))
+            self._delta = None
+        return records.num_rows
 
 
 def serving_actor(num_cpus: float = 1.0):

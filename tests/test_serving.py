@@ -157,3 +157,37 @@ def test_multigrain_resolution():
     assert out.loc[11, "resolved_cand"] == 2
     assert out.loc[12, "resolved_cand"] == 0      # NO_MATCH
     assert out.loc[10, "n_surviving"] >= 1
+
+
+def test_index_add_matches_full_rebuild():
+    """Online upsert identity: build on 300 rows, add 100 more in two
+    batches, links must equal an index built on all 400 at once — both with
+    the delta segment live and after forced compaction."""
+    import ray.data as rd
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.serving import LinkageIndex
+    from spel_ray.sources.synth import generate_code_table
+
+    cfg = LinkageConfig()
+    t = generate_code_table(400, seed=3).drop_columns(["ancestor_id"])
+    base, inc1, inc2 = t.slice(0, 300), t.slice(300, 50), t.slice(350, 50)
+
+    idx = LinkageIndex.build(rd.from_arrow(base), cfg)
+    # huge ratio: keep the delta segment live (merge path exercised)
+    idx.add(inc1, compact_ratio=10.0)
+    idx.add(inc2, compact_ratio=10.0)
+    assert idx._delta is not None
+
+    full = LinkageIndex.build(rd.from_arrow(t), cfg)
+    probes = t.slice(250, 60)
+    for c, lg in zip(probes["content"].to_pylist(),
+                     probes["lang"].to_pylist()):
+        assert idx.link(c, lg, k=5) == full.link(c, lg, k=5)
+
+    # tiny ratio on a 0-row add: force compaction, identity must survive
+    idx.add(t.slice(0, 0), compact_ratio=0.0)
+    assert idx._delta is None
+    for c, lg in zip(probes["content"].to_pylist()[:20],
+                     probes["lang"].to_pylist()[:20]):
+        assert idx.link(c, lg, k=5) == full.link(c, lg, k=5)
