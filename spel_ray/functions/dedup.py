@@ -415,3 +415,175 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
 
     keyed = cand.map_batches(add_pk, batch_format="pyarrow")
     return bucketed_groupby(keyed, "_pk", merge, num_buckets=num_buckets)
+
+
+# ----------------------------------------------- sorted-neighborhood (SNM)
+def _key_surrogates(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Order-preserving int64 surrogate of a string key: the first 8 UTF-8
+    bytes big-endian, zero-padded (UTF-8 byte order == code-point order, so
+    surrogate order agrees with key order whenever the surrogates differ;
+    equal surrogates are resolved by the full-key local sort). The uint64
+    is shifted into signed space so int64 comparisons preserve the order
+    even for non-ASCII lead bytes. Pure buffer arithmetic — no per-row
+    Python."""
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    starts = off[:-1].astype(np.int64)
+    lens = np.minimum(off[1:].astype(np.int64) - starts, 8)
+    cols = np.arange(8, dtype=np.int64)
+    pos = starts[:, None] + cols[None, :]
+    valid = cols[None, :] < lens[:, None]
+    m = np.zeros((n, 8), dtype=np.uint64)
+    np.copyto(m, data[np.where(valid, pos, 0)], where=valid)
+    shifts = np.uint64(8) * (np.uint64(7) - np.arange(8, dtype=np.uint64))
+    sur = (m << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return (sur - np.uint64(1 << 63)).view(np.int64)
+
+
+def sorted_neighborhood_pairs(ds: ray.data.Dataset, *, window: int = 5,
+                              key_len: int = 32, num_buckets: int = 16,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> ray.data.Dataset:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the second
+    classic blocking paradigm next to LSH: sort the corpus by a key (here
+    the first ``key_len`` chars of the whitespace-normalized text) and emit
+    every pair within ``window`` positions of the global sorted order.
+    Returns (id_lo, id_hi, dist) with dist = rank distance in [1, window].
+
+    Distributed shape (exact, no global-sort operator needed):
+    1. slim (id, key, surrogate) projection; order-preserving int64
+       surrogates make range partitioning a numeric ``searchsorted``;
+    2. range boundaries from a per-batch sample (boundaries only balance
+       load — the OUTPUT is invariant to the partitioning);
+    3. one shuffle groups each contiguous key range; every bucket sorts
+       locally by (key, id) and emits its within-bucket window pairs
+       vectorized (window shifted-slice pairs, no Python loop over rows);
+    4. rows within ``window`` of a bucket edge (the only rows that can
+       pair across buckets — interior rows are > window ranks from any
+       neighbor bucket) come back as a fringe of O(buckets × 2·window)
+       slim rows; the driver assembles their global ranks from per-bucket
+       offsets and emits the cross-bucket pairs.
+    """
+    from spel_ray.stages.fingerprint import _norm_ws
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.utf8_slice_codeunits(
+            _norm_ws(pc.coalesce(batch[text_col], "")), 0, key_len)
+        return pa.table({
+            "id": pc.cast(batch[id_col], pa.int64()),
+            "key": key,
+            "sur": pa.array(_key_surrogates(key), pa.int64()),
+        })
+
+    slim = ds.map_batches(keys_batch, batch_format="pyarrow")
+
+    # boundaries from a deterministic per-batch sample (~64 values/batch)
+    def sample(batch: pa.Table) -> pa.Table:
+        s = np.sort(np.asarray(batch["sur"], dtype=np.int64))
+        step = max(1, len(s) // 64)
+        return pa.table({"sur": pa.array(s[::step], pa.int64())})
+
+    samp_df = slim.map_batches(sample, batch_format="pyarrow").to_pandas()
+    # an empty Dataset loses its schema — treat a column-less frame as empty
+    samp = np.sort(samp_df["sur"].to_numpy(np.int64)) \
+        if "sur" in samp_df.columns else np.zeros(0, np.int64)
+    if len(samp) == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
+    qpos = (np.arange(1, num_buckets) * len(samp)) // num_buckets
+    bounds = np.unique(samp[qpos])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = np.searchsorted(bounds, np.asarray(batch["sur"], np.int64),
+                            side="right")
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        bucket = int(t["_bucket"][0].as_py())
+        df = pa.table({"id": t["id"], "key": t["key"]}).to_pandas()
+        df = df.sort_values(["key", "id"], kind="mergesort")
+        ids = df["id"].to_numpy(np.int64)
+        n = len(ids)
+        lo_parts, hi_parts, d_parts = [], [], []
+        for d in range(1, min(window, n - 1) + 1 if n > 1 else 1):
+            a, b = ids[:-d], ids[d:]
+            lo_parts.append(np.minimum(a, b))
+            hi_parts.append(np.maximum(a, b))
+            d_parts.append(np.full(n - d, d, np.int64))
+        lo = np.concatenate(lo_parts) if lo_parts else np.zeros(0, np.int64)
+        hi = np.concatenate(hi_parts) if hi_parts else np.zeros(0, np.int64)
+        dd = np.concatenate(d_parts) if d_parts else np.zeros(0, np.int64)
+        pairs = pa.table({
+            "kind": pa.array(np.zeros(len(lo), np.int64), pa.int64()),
+            "id_lo": pa.array(lo, pa.int64()),
+            "id_hi": pa.array(hi, pa.int64()),
+            "dist": pa.array(dd, pa.int64()),
+            "bucket": pa.array(np.full(len(lo), bucket), pa.int64()),
+            "pos": pa.array(np.zeros(len(lo), np.int64), pa.int64()),
+            "bucket_n": pa.array(np.zeros(len(lo), np.int64), pa.int64()),
+        })
+        fr = np.unique(np.r_[np.arange(min(window, n)),
+                             np.arange(max(n - window, 0), n)])
+        fringe = pa.table({
+            "kind": pa.array(np.ones(len(fr), np.int64), pa.int64()),
+            "id_lo": pa.array(ids[fr], pa.int64()),
+            "id_hi": pa.array(np.zeros(len(fr), np.int64), pa.int64()),
+            "dist": pa.array(np.zeros(len(fr), np.int64), pa.int64()),
+            "bucket": pa.array(np.full(len(fr), bucket), pa.int64()),
+            "pos": pa.array(fr, pa.int64()),
+            "bucket_n": pa.array(np.full(len(fr), n), pa.int64()),
+        })
+        return pa.concat_tables([pairs, fringe])
+
+    # pairs and fringe both consume this — pin so the shuffle runs once
+    out = (slim.map_batches(assign, batch_format="pyarrow")
+               .groupby("_bucket")
+               .map_groups(bucket_pairs, batch_format="pyarrow")
+               .materialize())
+
+    import pyarrow.compute as pc
+
+    pairs_ds = out.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0))
+                   .select(["id_lo", "id_hi", "dist"]),
+        batch_format="pyarrow")
+
+    fringe = out.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1))
+                   .select(["id_lo", "bucket", "pos", "bucket_n"]),
+        batch_format="pyarrow").to_pandas()
+
+    cross = {"id_lo": [], "id_hi": [], "dist": []}
+    if len(fringe):
+        sizes = fringe.drop_duplicates("bucket").set_index("bucket")[
+            "bucket_n"].sort_index()
+        offsets = sizes.cumsum().shift(fill_value=0)
+        fringe = fringe.assign(
+            rank=fringe["bucket"].map(offsets).to_numpy(np.int64)
+                 + fringe["pos"].to_numpy(np.int64))
+        fringe = fringe.sort_values("rank")
+        ranks = fringe["rank"].to_numpy(np.int64)
+        ids = fringe["id_lo"].to_numpy(np.int64)
+        bks = fringe["bucket"].to_numpy(np.int64)
+        for d in range(1, window + 1):
+            j = np.searchsorted(ranks, ranks + d)
+            ok = (j < len(ranks))
+            jj = np.clip(j, 0, len(ranks) - 1)
+            ok &= (ranks[jj] == ranks + d) & (bks[jj] != bks)
+            a, b = ids[ok], ids[jj[ok]]
+            cross["id_lo"].extend(np.minimum(a, b).tolist())
+            cross["id_hi"].extend(np.maximum(a, b).tolist())
+            cross["dist"].extend([d] * int(ok.sum()))
+
+    cross_tbl = pa.table({k: pa.array(v, pa.int64())
+                          for k, v in cross.items()})
+    return pairs_ds.union(ray.data.from_arrow(cross_tbl))

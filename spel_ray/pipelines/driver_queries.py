@@ -960,3 +960,14 @@ def q_linkage_docs_incremental(sf_dir: str) -> pd.DataFrame:
                            num_buckets=8)
     return inc.clusters.to_pandas().sort_values("row_id") \
         .reset_index(drop=True)
+
+
+def q_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood blocking pairs (window 5 over the normalized-text
+    prefix sort order) — the second classic ER blocking paradigm next to
+    LSH, DuckDB-oracled as a ROW_NUMBER window self-join."""
+    from spel_ray.functions.dedup import sorted_neighborhood_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = sorted_neighborhood_pairs(ds, window=5, key_len=32, num_buckets=8)
+    return out.to_pandas().sort_values(["id_lo", "id_hi"]) \
+        .reset_index(drop=True)

@@ -99,3 +99,63 @@ def test_embedding_neardup():
     ds = rd.from_arrow(pa.table(rows))
     out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
     assert set(zip(out["id_lo"], out["id_hi"])) == {(1, 2)}
+
+
+def test_sorted_neighborhood_matches_bruteforce():
+    """Distributed SNM == driver brute force (sort + window pairs), at two
+    bucket counts and a partitioning that forces cross-bucket fringes."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 9)))
+             for _ in range(300)]
+    ids = rng.permutation(900)[:300].astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(5)
+
+    w = 4
+    key = [re.sub(r"\s+", " ", x).strip()[:32] for x in texts]
+    df = pd.DataFrame({"id": ids, "key": key}) \
+        .sort_values(["key", "id"]).reset_index(drop=True)
+    arr = df["id"].to_numpy()
+    ref = pd.DataFrame(
+        [(min(a, b), max(a, b), d)
+         for d in range(1, w + 1)
+         for a, b in zip(arr[:-d], arr[d:])],
+        columns=["id_lo", "id_hi", "dist"]) \
+        .sort_values(["id_lo", "id_hi", "dist"]).reset_index(drop=True)
+
+    for nb in (2, 9):    # many tiny buckets → window spans several buckets
+        got = sorted_neighborhood_pairs(ds, window=w, num_buckets=nb) \
+            .to_pandas().sort_values(["id_lo", "id_hi", "dist"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+
+def test_sorted_neighborhood_edge_cases():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.dedup import sorted_neighborhood_pairs
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    assert sorted_neighborhood_pairs(empty, window=3).count() == 0
+
+    one = rd.from_arrow(pa.table({"doc_id": [7], "text": ["only row"]}))
+    assert sorted_neighborhood_pairs(one, window=3).count() == 0
+
+    # nulls and empty strings sort first, deterministically
+    t = pa.table({"doc_id": [1, 2, 3], "text": [None, "", "zzz"]})
+    out = sorted_neighborhood_pairs(rd.from_arrow(t), window=2) \
+        .to_pandas().sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+    assert len(out) == 3    # all C(3,2) pairs within window 2
