@@ -434,6 +434,8 @@ def _key_surrogates(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset: arr.offset + n + 1]
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.zeros(0, np.uint8)
+    if len(data) == 0:      # every key empty/null: one shared zero surrogate
+        return np.full(n, np.int64(-(1 << 63)), np.int64)
     starts = off[:-1].astype(np.int64)
     lens = np.minimum(off[1:].astype(np.int64) - starts, 8)
     cols = np.arange(8, dtype=np.int64)

@@ -191,3 +191,21 @@ def test_threshold_sweep_best_is_optimal(sp):
         if prec + rec:
             brute = max(brute, 2 * prec * rec / (prec + rec))
     assert abs(best["f1"] - brute) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=0, max_size=30))
+def test_snm_surrogate_preserves_key_order(keys):
+    """If surrogate(a) < surrogate(b) then a < b as strings (UTF-8 byte
+    order == code-point order; equal surrogates may hide longer-key ties,
+    which the full-key local sort resolves) — the invariant
+    sorted-neighborhood range partitioning rests on."""
+    import pyarrow as pa
+
+    from spel_ray.functions.dedup import _key_surrogates
+
+    sur = _key_surrogates(pa.array(keys, pa.string()))
+    for i in range(len(keys)):
+        for j in range(len(keys)):
+            if sur[i] < sur[j]:
+                assert keys[i] < keys[j], (keys[i], keys[j])
