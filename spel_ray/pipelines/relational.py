@@ -273,3 +273,75 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
     out = finalize_partials(ds.map_batches(partial, batch_format="pyarrow"),
                             ["p_type"], final)
     return out.to_pandas().sort_values("p_type").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ anti-join
+def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str, *,
+              num_buckets: int = 32) -> ray.data.Dataset:
+    """Bucketed anti-join: rows of ``left`` whose key has NO match in
+    ``right`` (NOT EXISTS). Both sides may be arbitrarily large — no
+    broadcast: the right side is first reduced to per-batch distinct keys,
+    then both sides hash-co-partition on the key and each bucket answers
+    its own NOT EXISTS with one vectorized ``isin``. One shuffle total."""
+    from spel_ray.state.shuffle import add_bucket_column
+
+    left_cols = left.columns()
+    left_schema = left.schema()     # resolved driver-side: the UDF closure
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("_key", pc.cast(batch[left_key], pa.int64()))
+        return t.append_column("_side", pa.array(
+            np.zeros(batch.num_rows, np.int8), pa.int8()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # distinct inside the batch: the shuffle ships each key once per
+        # batch at most, not once per row
+        keys = pc.unique(pc.cast(batch[right_key], pa.int64()))
+        t = pa.table({"_key": keys})
+        for c in left_cols:     # align schemas for the union (all-null)
+            t = t.append_column(c, pa.nulls(len(keys), left_types[c]))
+        return t.append_column("_side", pa.array(
+            np.ones(len(keys), np.int8), pa.int8()))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.select_columns(["_key", "_side"] + left_cols).union(
+        rt.select_columns(["_key", "_side"] + left_cols))
+
+    def bucket_anti(t: pa.Table) -> pa.Table:
+        right_keys = t.filter(pc.equal(t["_side"], 1))["_key"]
+        lrows = t.filter(pc.equal(t["_side"], 0))
+        keep = pc.invert(pc.is_in(lrows["_key"],
+                                  value_set=right_keys.combine_chunks()))
+        return lrows.filter(keep).select(left_cols)
+
+    with_bucket = both.map_batches(
+        lambda b: add_bucket_column(b, "_key", num_buckets),
+        batch_format="pyarrow")
+    return with_bucket.groupby("_bucket").map_groups(
+        lambda t: bucket_anti(t.drop_columns(["_bucket"])),
+        batch_format="pyarrow")
+
+
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 flavor — customers that never placed a large
+    (totalprice > 400k) order, via the bucketed anti-join (both sides
+    shuffle-co-partitioned; NO broadcast, so the pattern survives two large
+    sides). Oracle: NOT EXISTS. (Every customer in this testdata has SOME
+    order, so the unfiltered variant would be an empty-result no-op.)"""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["o_totalprice"], 400000.0)).select(["o_custkey"])
+
+    out = anti_join(cust, orders.map_batches(big, batch_format="pyarrow"),
+                    "c_custkey", "o_custkey", num_buckets=16)
+    df = out.to_pandas()
+    if "c_custkey" not in df.columns:       # empty Dataset loses its schema
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype=object)})
+    return df.sort_values("c_custkey").reset_index(drop=True)

@@ -43,7 +43,8 @@ def test_every_oracle_has_a_query():
 ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "union_names", "sessionize", "token_counts", "doc_lengths",
            "ann_topk", "events_window", "asof_join", "train_split",
-           "blocking_quality", "cluster_sizes", "linkage_docs_incremental"]
+           "blocking_quality", "cluster_sizes", "linkage_docs_incremental",
+           "sorted_neighborhood", "customers_no_orders"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -70,3 +71,27 @@ def test_entry_smoke():
     df = r.to_pandas()
     assert len(df) >= 1
     assert set(df.columns) == {"row_id", "cluster_id"}
+
+
+def test_anti_join_edge_cases():
+    """Bucketed anti-join: exact NOT EXISTS semantics, incl. the all-matched
+    (empty-result) and empty-right edges."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.pipelines.relational import anti_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([2, 4, 4], pa.int64())}))
+    out = anti_join(left, right, "k", "rk", num_buckets=4).to_pandas()
+    assert sorted(out["k"]) == [1, 3]
+
+    # empty right → everything survives
+    empty_r = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert anti_join(left, empty_r, "k", "rk", num_buckets=4).count() == 4
+
+    # right covers left → empty result
+    full_r = rd.from_arrow(pa.table({"rk": pa.array([1, 2, 3, 4], pa.int64())}))
+    assert anti_join(left, full_r, "k", "rk", num_buckets=4).count() == 0
