@@ -971,3 +971,31 @@ def q_sorted_neighborhood(sf_dir: str) -> pd.DataFrame:
     out = sorted_neighborhood_pairs(ds, window=5, key_len=32, num_buckets=8)
     return out.to_pandas().sort_values(["id_lo", "id_hi"]) \
         .reset_index(drop=True)
+
+
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG: microseconds since the user's previous event (-1 for
+    the first) — the ordered-window analog of SQL LAG, computed as one
+    vectorized pandas pass per bucket (all users of a bucket together,
+    never one Python call per user). Oracled against epoch_us - lag()."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "event_id": pd.Series(dtype="int64"),
+                                 "gap_us": pd.Series(dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        d = df.groupby("user_id", sort=False)["ts"].diff()
+        # float µs is exact far past any corpus horizon (2^53 µs ≈ 285 y)
+        gap = (d / np.timedelta64(1, "us")).fillna(-1).astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "event_id": df["event_id"].to_numpy(np.int64),
+                             "gap_us": gap.to_numpy(np.int64)})
+
+    out = bucketed_groupby(ds, "user_id", gaps, num_buckets=16)
+    return out.to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)

@@ -275,7 +275,17 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("p_type").reset_index(drop=True)
 
 
-# ------------------------------------------------------------------ anti-join
+# ------------------------------------------------------- semi- / anti-join
+def semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str, *,
+              num_buckets: int = 32) -> ray.data.Dataset:
+    """Bucketed semi-join (EXISTS): rows of ``left`` whose key HAS a match
+    in ``right`` — same both-sides-large shuffle shape as :func:`anti_join`
+    (distinct-reduce the right, co-partition, vectorized ``is_in``)."""
+    return _key_filter_join(left, right, left_key, right_key,
+                            keep_matched=True, num_buckets=num_buckets)
+
+
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
               left_key: str, right_key: str, *,
               num_buckets: int = 32) -> ray.data.Dataset:
@@ -284,6 +294,13 @@ def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
     broadcast: the right side is first reduced to per-batch distinct keys,
     then both sides hash-co-partition on the key and each bucket answers
     its own NOT EXISTS with one vectorized ``isin``. One shuffle total."""
+    return _key_filter_join(left, right, left_key, right_key,
+                            keep_matched=False, num_buckets=num_buckets)
+
+
+def _key_filter_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                     left_key: str, right_key: str, *,
+                     keep_matched: bool, num_buckets: int) -> ray.data.Dataset:
     from spel_ray.state.shuffle import add_bucket_column
 
     left_cols = left.columns()
@@ -313,8 +330,9 @@ def anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
     def bucket_anti(t: pa.Table) -> pa.Table:
         right_keys = t.filter(pc.equal(t["_side"], 1))["_key"]
         lrows = t.filter(pc.equal(t["_side"], 0))
-        keep = pc.invert(pc.is_in(lrows["_key"],
-                                  value_set=right_keys.combine_chunks()))
+        keep = pc.is_in(lrows["_key"], value_set=right_keys.combine_chunks())
+        if not keep_matched:
+            keep = pc.invert(keep)
         return lrows.filter(keep).select(left_cols)
 
     with_bucket = both.map_batches(
@@ -339,6 +357,25 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
             pc.greater(batch["o_totalprice"], 400000.0)).select(["o_custkey"])
 
     out = anti_join(cust, orders.map_batches(big, batch_format="pyarrow"),
+                    "c_custkey", "o_custkey", num_buckets=16)
+    df = out.to_pandas()
+    if "c_custkey" not in df.columns:       # empty Dataset loses its schema
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                           "c_name": pd.Series(dtype=object)})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
+    """EXISTS companion to ``q_customers_no_orders``: customers with at
+    least one >400k order, via the bucketed semi-join."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["o_totalprice"], 400000.0)).select(["o_custkey"])
+
+    out = semi_join(cust, orders.map_batches(big, batch_format="pyarrow"),
                     "c_custkey", "o_custkey", num_buckets=16)
     df = out.to_pandas()
     if "c_custkey" not in df.columns:       # empty Dataset loses its schema

@@ -44,7 +44,8 @@ ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "union_names", "sessionize", "token_counts", "doc_lengths",
            "ann_topk", "events_window", "asof_join", "train_split",
            "blocking_quality", "cluster_sizes", "linkage_docs_incremental",
-           "sorted_neighborhood", "customers_no_orders"]
+           "sorted_neighborhood", "customers_no_orders",
+           "customers_big_orders", "event_gaps"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
