@@ -484,7 +484,10 @@ def sorted_neighborhood_pairs(ds: ray.data.Dataset, *, window: int = 5,
             "sur": pa.array(_key_surrogates(key), pa.int64()),
         })
 
-    slim = ds.map_batches(keys_batch, batch_format="pyarrow")
+    # pin the slim projection: the boundary-sample pass AND the
+    # assign/shuffle pass both consume it — without the pin each would
+    # re-read and re-normalize the full text column
+    slim = ds.map_batches(keys_batch, batch_format="pyarrow").materialize()
 
     # boundaries from a deterministic per-batch sample (~64 values/batch)
     def sample(batch: pa.Table) -> pa.Table:

@@ -901,7 +901,8 @@ def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
 
     cfg = LinkageConfig(use_verifier=False)
     res = run_linkage(documents_as_code_table(sf_dir), cfg, num_buckets=8)
-    return blocking_quality(res.records, res.pairs, cfg, sample_size=128)
+    return blocking_quality(res.records, res.pairs, cfg, sample_size=128,
+                            n_records=res.clusters.count())
 
 
 def q_cluster_sizes(sf_dir: str) -> pd.DataFrame:

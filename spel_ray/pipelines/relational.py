@@ -308,15 +308,21 @@ def _key_filter_join(left: ray.data.Dataset, right: ray.data.Dataset,
     left_types = dict(zip(left_schema.names, left_schema.types))
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        t = batch.append_column("_key", pc.cast(batch[left_key], pa.int64()))
+        key = pc.cast(batch[left_key], pa.int64())
+        t = batch.append_column("_key", key)
+        # null-safe: "_key" keeps nullness for the EXISTS semantics;
+        # "_bkey" is a non-null stand-in used only for bucketing
+        t = t.append_column("_bkey", pc.fill_null(key, 0))
         return t.append_column("_side", pa.array(
             np.zeros(batch.num_rows, np.int8), pa.int8()))
 
     def tag_right(batch: pa.Table) -> pa.Table:
         # distinct inside the batch: the shuffle ships each key once per
-        # batch at most, not once per row
-        keys = pc.unique(pc.cast(batch[right_key], pa.int64()))
+        # batch at most, not once per row. NULL right keys never match a
+        # SQL equality predicate — drop them here.
+        keys = pc.drop_null(pc.unique(pc.cast(batch[right_key], pa.int64())))
         t = pa.table({"_key": keys})
+        t = t.append_column("_bkey", keys)
         for c in left_cols:     # align schemas for the union (all-null)
             t = t.append_column(c, pa.nulls(len(keys), left_types[c]))
         return t.append_column("_side", pa.array(
@@ -324,19 +330,22 @@ def _key_filter_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
-    both = lt.select_columns(["_key", "_side"] + left_cols).union(
-        rt.select_columns(["_key", "_side"] + left_cols))
+    both = lt.select_columns(["_key", "_bkey", "_side"] + left_cols).union(
+        rt.select_columns(["_key", "_bkey", "_side"] + left_cols))
 
     def bucket_anti(t: pa.Table) -> pa.Table:
         right_keys = t.filter(pc.equal(t["_side"], 1))["_key"]
         lrows = t.filter(pc.equal(t["_side"], 0))
-        keep = pc.is_in(lrows["_key"], value_set=right_keys.combine_chunks())
-        if not keep_matched:
-            keep = pc.invert(keep)
+        # a NULL left key matches nothing (SQL: NULL = x is never true):
+        # fill_null(False) makes anti KEEP and semi DROP such rows
+        matched = pc.fill_null(
+            pc.is_in(lrows["_key"], value_set=right_keys.combine_chunks()),
+            False)
+        keep = matched if keep_matched else pc.invert(matched)
         return lrows.filter(keep).select(left_cols)
 
     with_bucket = both.map_batches(
-        lambda b: add_bucket_column(b, "_key", num_buckets),
+        lambda b: add_bucket_column(b, "_bkey", num_buckets),
         batch_format="pyarrow")
     return with_bucket.groupby("_bucket").map_groups(
         lambda t: bucket_anti(t.drop_columns(["_bucket"])),

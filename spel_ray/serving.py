@@ -193,12 +193,31 @@ class LinkageIndex:
                                    content, lang)
         hits = self._hits_from_features(f, thr, k)
         if self._delta is not None:
-            # main and delta hold disjoint row sets and score with the same
-            # function, so merging their top-k's by (score desc, row_id)
-            # reproduces the top-k of a single merged index exactly
-            hits = sorted(hits + self._delta._hits_from_features(f, thr, k),
+            # add() evicts superseded copies, so main and delta hold
+            # disjoint row sets and merging their top-k's by
+            # (score desc, row_id) reproduces a single merged index's
+            # top-k exactly; the dict dedup (delta = newest wins) is the
+            # same belt-and-braces row_id dedup the single-index probe does
+            merged: dict[int, dict] = {}
+            for h in self._delta._hits_from_features(f, thr, k):
+                merged[h["row_id"]] = h
+            for h in hits:
+                merged.setdefault(h["row_id"], h)
+            hits = sorted(merged.values(),
                           key=lambda h: (-h["score"], h["row_id"]))[:k]
         return [{**h, "score": round(h["score"], 6)} for h in hits]
+
+    def _drop_row_ids(self, ids_sorted: np.ndarray) -> None:
+        """Evict every block row whose row_id is in ``ids_sorted`` (sorted
+        unique int64) — upsert semantics: a re-added record replaces its
+        previous version instead of serving twice."""
+        if not len(self._keys) or not len(ids_sorted):
+            return
+        pos = np.clip(np.searchsorted(ids_sorted, self._row_id),
+                      0, len(ids_sorted) - 1)
+        hit = ids_sorted[pos] == self._row_id
+        if hit.any():
+            self._load(self._to_rows().filter(pa.array(~hit)))
 
     # --------------------------------------------------------------- upsert
     def add(self, records: pa.Table, *, compact_ratio: float = 0.25) -> int:
@@ -218,6 +237,13 @@ class LinkageIndex:
         records absorbed."""
         rows = self._explode(self._sketch(fingerprint_batch(
             records, strip_comments=self.cfg.strip_comments)))
+        # upsert: evict any previous version of the incoming rows first —
+        # O(segment) reslice, amortized by batching adds
+        if rows.num_rows:
+            new_ids = np.unique(np.asarray(rows["row_id"], np.int64))
+            self._drop_row_ids(new_ids)
+            if self._delta is not None:
+                self._delta._drop_row_ids(new_ids)
         if self._delta is None:
             self._delta = LinkageIndex(self.cfg, rows)
         else:

@@ -250,7 +250,8 @@ def evaluate_clusters(pairs: ray.data.Dataset, clusters: ray.data.Dataset,
 
 def blocking_quality(records: ray.data.Dataset, pairs: ray.data.Dataset,
                      cfg=None, *, sample_size: int = 128,
-                     strong_threshold: float = 0.8) -> pd.DataFrame:
+                     strong_threshold: float = 0.8,
+                     n_records: int | None = None) -> pd.DataFrame:
     """Blocking-quality metrics — the standard record-linkage evaluation of a
     blocking scheme (Christen 2012: reduction ratio, pairs completeness,
     pairs quality; ≙ the reference's candidate-set coverage concern,
@@ -286,13 +287,18 @@ def blocking_quality(records: ray.data.Dataset, pairs: ray.data.Dataset,
     the pair table or the input.
     """
     from spel_ray.config import LinkageConfig
+    from spel_ray.extension import get_scorer
     from spel_ray.stages.minhash import MinHasher, sig_dtype
-    from spel_ray.stages.scoring import score_pair_arrays
 
     cfg = cfg or LinkageConfig()
     mult = np.uint64(2654435761)
 
-    n_records = records.count()
+    # records is often a LAZY fingerprint lineage: counting it here would
+    # re-run sha256+normalize over the whole corpus just for a row count —
+    # callers that already hold a materialized per-record table (e.g. the
+    # linkage run's clusters) should pass n_records instead
+    if n_records is None:
+        n_records = records.count()
     n_cand = pairs.count()
 
     sample_cols = ["row_id", "norm_content", "n_chars", "content_sha256"]
@@ -324,7 +330,10 @@ def blocking_quality(records: ray.data.Dataset, pairs: ray.data.Dataset,
     lo, hi = np.triu_indices(s, k=1)
     thr = cfg.score_threshold
     if len(lo):
-        _, exact, score = score_pair_arrays(
+        # the CONFIGURED scorer, same resolution as pairs.py — truth and
+        # candidate scores must come from one function or completeness can
+        # exceed 1.0 under a custom-scorer registration
+        _, exact, score = get_scorer(cfg.scorer).score_pairs(
             cfg, sig_lo=sigs[lo], sig_hi=sigs[hi],
             tok_lo=toks[lo], tok_hi=toks[hi],
             n_lo=n_chars[lo], n_hi=n_chars[hi],

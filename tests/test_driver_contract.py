@@ -96,3 +96,22 @@ def test_anti_join_edge_cases():
     # right covers left → empty result
     full_r = rd.from_arrow(pa.table({"rk": pa.array([1, 2, 3, 4], pa.int64())}))
     assert anti_join(left, full_r, "k", "rk", num_buckets=4).count() == 0
+
+
+def test_join_null_key_semantics():
+    """SQL EXISTS/NOT EXISTS null semantics: a NULL key matches nothing —
+    anti keeps the row, semi drops it; NULL right keys match nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.pipelines.relational import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "v": ["a", "b", "c"]}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([None, 3], pa.int64())}))
+    anti = anti_join(left, right, "k", "rk", num_buckets=2).to_pandas()
+    assert sorted(anti["v"]) == ["a", "b"]       # NULL row kept; 3 matched
+    semi = semi_join(left, right, "k", "rk", num_buckets=2).to_pandas()
+    assert sorted(semi["v"]) == ["c"]

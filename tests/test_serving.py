@@ -191,3 +191,39 @@ def test_index_add_matches_full_rebuild():
     for c, lg in zip(probes["content"].to_pylist()[:20],
                      probes["lang"].to_pylist()[:20]):
         assert idx.link(c, lg, k=5) == full.link(c, lg, k=5)
+
+
+def test_index_add_is_an_upsert():
+    """Re-adding an existing (repo, path, commit) row must REPLACE it —
+    link() returns its row_id at most once, and the updated content's
+    score is served, both with the delta live and after compaction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.config import LinkageConfig
+    from spel_ray.serving import LinkageIndex
+
+    cfg = LinkageConfig()
+    old = pa.table({
+        "repo": ["a", "b"], "path": ["x.py", "y.py"],
+        "commit": ["0" * 40, "1" * 40], "lang": ["python"] * 2,
+        "content": ["import os\nrun()", "totally different body here ok"],
+    })
+    idx = LinkageIndex.build(rd.from_arrow(old), cfg)
+
+    # same identity (a, x.py, commit 0s), NEW content
+    update = pa.table({
+        "repo": ["a"], "path": ["x.py"], "commit": ["0" * 40],
+        "lang": ["python"], "content": ["import sys\nmain()"],
+    })
+    idx.add(update, compact_ratio=10.0)          # delta stays live
+    hits = idx.link("import sys\nmain()", "python", k=5)
+    row_ids = [h["row_id"] for h in hits]
+    assert len(row_ids) == len(set(row_ids)), hits
+    assert hits and hits[0]["exact"], hits       # new version serves
+    assert not idx.link("import os\nrun()", "python", k=5,
+                        min_score=0.999), "stale version still serving"
+
+    idx.add(update.slice(0, 0), compact_ratio=0.0)   # force compaction
+    hits2 = idx.link("import sys\nmain()", "python", k=5)
+    assert [h["row_id"] for h in hits2] == row_ids
