@@ -1,0 +1,94 @@
+"""Corpus-curation job entrypoint — submit with ``ray job submit``.
+
+The training-data preparation counterpart of ``jobs/linkage_job.py``:
+quality-gate → exact dedup → (optional) MinHash near-dedup → (optional)
+PII/secret scrub → deterministic train/test split, written as Parquet
+partitioned by split so a downstream consumer (or a resumed run) addresses
+``part=train`` / ``part=test`` directories independently.
+
+On a real cluster:
+
+    ray job submit --address http://<head>:8265 \
+        --working-dir . -- python jobs/curation_job.py \
+        --input s3://bucket/documents/ --output s3://bucket/curated/run1 \
+        --near-dedup --scrub --num-buckets 2048
+
+In this sandbox:
+
+    python jobs/curation_job.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated --near-dedup --scrub
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True,
+                   help="parquet file/dir with (doc_id, text, ...) rows")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-chars", type=int, default=100)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--scrub", action="store_true",
+                   help="PII/secret scrubbing after the dedup stages")
+    p.add_argument("--train-pct", type=int, default=80)
+    p.add_argument("--num-buckets", type=int, default=32)
+    args = p.parse_args()
+
+    import pyarrow as pa
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from spel_ray.pipelines.curation import curate_documents
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    out = curate_documents(ds, min_chars=args.min_chars,
+                           min_tokens=args.min_tokens,
+                           near_dedup=args.near_dedup,
+                           train_pct=args.train_pct,
+                           num_buckets=args.num_buckets)
+    if args.scrub:
+        from spel_ray.functions.scrub import scrub_table
+
+        def scrub_keep_part(b: pa.Table) -> pa.Table:
+            # scrub_table projects to (id, text, n_redactions) — carry the
+            # split column through
+            return scrub_table(b, text_col="text", id_col="doc_id") \
+                .append_column("part", b["part"])
+
+        out = out.map_batches(scrub_keep_part, batch_format="pyarrow")
+
+    def n_kept(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    out = out.materialize()      # counted AND written below — run once
+    kept = sum(r["n"] for r in
+               out.map_batches(n_kept, batch_format="pyarrow").take_all())
+    out.write_parquet(args.output, partition_cols=["part"])
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "input": args.input, "output": args.output,
+        "rows_kept": kept,
+        "near_dedup": args.near_dedup, "scrub": args.scrub,
+        "seconds": round(elapsed, 2),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
