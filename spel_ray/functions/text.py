@@ -290,6 +290,33 @@ def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
     return out.map_batches(to_arrow, batch_format="pandas")
 
 
+def _line_arrays(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_lines, n_unique_lines, dup_line_frac) per row — n_lines in C
+    (pc.count_substring + 1 for non-empty text); only the distinct-line
+    count needs Python sets (VERDICT r3 "wrong" #3). The frac is the raw
+    IEEE double of 1 - u/n: both engine and SQL oracle compute the
+    identical integer division, so no rounding step is needed for hash
+    parity. Shared by line_stats and gopher_rules."""
+    import pyarrow.compute as pc
+
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    nonempty = pc.and_kleene(col.is_valid(),
+                             pc.not_equal(col, "")).to_numpy(
+                                 zero_copy_only=False)
+    n_lines = np.where(
+        nonempty,
+        pc.add(pc.count_substring(pc.coalesce(col, ""), "\n"),
+               1).to_numpy(zero_copy_only=False).astype(np.int64),
+        0).astype(np.int64)
+    n_uniq = np.zeros(len(col), dtype=np.int64)
+    for i in np.flatnonzero(nonempty):
+        n_uniq[i] = len(set(col[i].as_py().split("\n")))
+    frac = np.where(n_lines > 0,
+                    1.0 - n_uniq / np.maximum(n_lines, 1), 0.0)
+    return n_lines, n_uniq, frac
+
+
 def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
                id_col: str = "doc_id") -> ray.data.Dataset:
     """Repetition metrics per document (the Gopher/C4-style quality-rule
@@ -297,25 +324,7 @@ def line_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     Repetitious boilerplate is the classic low-quality training-data
     signal; all three are exactly SQL-expressible (driver oracle)."""
     def f(batch: pa.Table) -> pa.Table:
-        # n_lines in C (pc.count_substring + 1 for non-empty text); only the
-        # distinct-line count needs Python sets (VERDICT r3 "wrong" #3)
-        col = batch[text_col]
-        nonempty = pc.and_kleene(col.is_valid(),
-                                 pc.not_equal(col, "")).to_numpy(
-                                     zero_copy_only=False)
-        n_lines = np.where(
-            nonempty,
-            pc.add(pc.count_substring(pc.coalesce(col, ""), "\n"),
-                   1).to_numpy(zero_copy_only=False).astype(np.int64),
-            0).astype(np.int64)
-        n_uniq = np.zeros(batch.num_rows, dtype=np.int64)
-        for i in np.flatnonzero(nonempty):
-            n_uniq[i] = len(set(col[i].as_py().split("\n")))
-        # raw IEEE double of 1 - u/n: both engine and SQL oracle compute the
-        # identical integer division, so no rounding (and no banker's-vs-
-        # half-up disagreement) is needed for hash parity
-        frac = np.where(n_lines > 0,
-                        1.0 - n_uniq / np.maximum(n_lines, 1), 0.0)
+        n_lines, n_uniq, frac = _line_arrays(batch[text_col])
         return pa.table({
             id_col: batch[id_col],
             "n_lines": pa.array(n_lines, pa.int64()),
@@ -379,4 +388,52 @@ def fingerprint_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
         return batch.append_column(
             "doc_fingerprint", pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
                                         pa.int64()))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def gopher_rules(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_tokens: int = 50, max_tokens: int = 100000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_stop_ratio: float = 0.02,
+                 max_punct_ratio: float = 0.3,
+                 max_dup_line_frac: float = 0.3) -> ray.data.Dataset:
+    """Gopher-style composite quality-rule filter (Rae et al. 2021 §A1.1,
+    simplified to the five signals this engine already computes): token
+    count bounds, mean word length bounds, stop-word ratio floor, symbol
+    ratio cap, duplicate-line cap. Emits a verdict PLUS the auditable
+    reasons (per-rule fail bitmask + count) — a curation gate that silently
+    drops rows is the thing this repo never does.
+
+    One map_batches pass: all five metrics come from the same
+    TextAnalyzer / _line_arrays kernels the oracled ``quality`` and
+    ``line_stats`` queries use, so every threshold compares bit-identical
+    doubles on both engine and SQL sides.
+    """
+    analyzer = TextAnalyzer()
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = analyzer(pa.table({id_col: batch[id_col],
+                               "text": batch[text_col]}))
+        n_tok = np.asarray(a["n_tokens_ws"], dtype=np.int64)
+        mwl = np.asarray(a["mean_word_len"], dtype=np.float64)
+        stop = np.asarray(a["stop_ratio"], dtype=np.float64)
+        punct = np.asarray(a["punct_ratio"], dtype=np.float64)
+        _, _, dup = _line_arrays(batch[text_col])
+        f0 = (n_tok < min_tokens) | (n_tok > max_tokens)
+        f1 = (mwl < min_mean_word_len) | (mwl > max_mean_word_len)
+        f2 = stop < min_stop_ratio
+        f3 = punct > max_punct_ratio
+        f4 = dup > max_dup_line_frac
+        fails = np.stack([f0, f1, f2, f3, f4]).astype(np.int64)
+        mask = (fails * (1 << np.arange(5))[:, None]).sum(axis=0)
+        n_failed = fails.sum(axis=0)
+        return pa.table({
+            id_col: batch[id_col],
+            "fail_mask": pa.array(mask, pa.int64()),
+            "n_rules_failed": pa.array(n_failed, pa.int64()),
+            "keep": pa.array(mask == 0),
+        })
+
     return ds.map_batches(f, batch_format="pyarrow")

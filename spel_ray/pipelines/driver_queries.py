@@ -1000,3 +1000,14 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
     out = bucketed_groupby(ds, "user_id", gaps, num_buckets=16)
     return out.to_pandas().sort_values(["user_id", "event_id"]) \
         .reset_index(drop=True)
+
+
+def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style composite quality-rule verdicts with auditable per-rule
+    fail bitmask — DuckDB-oracled (the five signals reuse the exact kernels
+    behind the oracled quality/line_stats queries, so every threshold
+    compares bit-identical doubles)."""
+    from spel_ray.functions.text import gopher_rules
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return gopher_rules(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)

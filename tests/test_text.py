@@ -167,3 +167,31 @@ def test_tfidf_oracle_parity_edge_cases():
     for c in ["doc_id", "term", "tfidf"]:
         assert np.array_equal(eng[c].to_numpy(), ora[c].to_numpy()), c
     assert 4 not in set(eng["doc_id"])      # empty doc emits nothing
+
+
+def test_gopher_rules_planted_cases():
+    """Each planted document trips exactly its intended rule bit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.text import gopher_rules
+
+    clean = ("the quick brown fox jumps over the lazy dog and that is it "
+             "for the day in a small town of note ") * 5   # >50 tokens
+    short = "too short"                                     # bit 0
+    symbols = clean[:400] + " " + "$%@!#^&*()" * 40         # bit 3
+    dup_lines = "\n".join(["the same line of text that is here"] * 40)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [clean, short, symbols, dup_lines],
+    })
+    out = gopher_rules(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    assert bool(out.loc[0, "keep"]) is True, out
+    assert out.loc[1, "fail_mask"] & 1          # token-count rule
+    assert not out.loc[1, "keep"]
+    assert out.loc[2, "fail_mask"] & 8          # symbol-ratio rule
+    assert out.loc[3, "fail_mask"] & 16         # dup-line rule
+    assert (out["n_rules_failed"] ==
+            out["fail_mask"].map(lambda m: bin(m).count("1"))).all()
