@@ -99,6 +99,8 @@ def benchmark_ngram_hashes(benchmark: ray.data.Dataset, *, n: int = 13,
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
     parts = benchmark.map_batches(f, batch_format="pyarrow").to_pandas()
+    if "h" not in parts.columns:    # empty Dataset loses its schema
+        return np.zeros(0, np.uint64)
     return np.unique(parts["h"].to_numpy(np.uint64))
 
 

@@ -431,7 +431,10 @@ def _key_surrogates(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
     bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset: arr.offset + n + 1]
+    # large_string carries int64 offsets — reading them as int32 would
+    # silently corrupt every surrogate past the first few rows
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + n + 1]
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.zeros(0, np.uint8)
     if len(data) == 0:      # every key empty/null: one shared zero surrogate

@@ -99,18 +99,26 @@ def resolve_mentions(spans: ray.data.Dataset, vocab: list[str], *,
             _state["keys"] = sorted(lowered)
         lowered, keys = _state["lowered"], _state["keys"]
 
+        memo: dict[str, str] = _state.setdefault("memo", {})
+
         def resolve(surface: str) -> str:
             m = (surface or "").lower()
+            hit = memo.get(m)
+            if hit is not None:
+                return hit
             if m in cases:
-                return cases[m]
-            if m in lowered:
-                return lowered[m]
-            if m in blocklist or not m:
-                return ""
-            for y in keys:               # substring fallback, first match
-                if m in y:
-                    return lowered[y]
-            return ""
+                r = cases[m]
+            elif m in lowered:
+                r = lowered[m]
+            elif m in blocklist or not m:
+                r = ""
+            else:
+                # substring fallback, first match — O(|vocab|) per DISTINCT
+                # surface only: NER output repeats surfaces constantly, so
+                # the memo turns 10k spans × 100k keys into ~1k scans
+                r = next((lowered[y] for y in keys if m in y), "")
+            memo[m] = r
+            return r
 
         out = [resolve(s) for s in batch[surface_col].to_pylist()]
         return batch.append_column("resolved", pa.array(out, pa.string()))

@@ -47,7 +47,10 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         g = batch.append_column("revenue", rev).group_by(
             ["l_returnflag", "l_linestatus"]).aggregate([
                 ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-                ("revenue", "sum"), ("l_quantity", "count")])
+                ("revenue", "sum"),
+                # COUNT(*) semantics: pyarrow's default count skips nulls,
+                # which would silently diverge from the oracle on a null
+                ("l_quantity", "count", pc.CountOptions(mode="all"))])
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
              "sum_revenue", "n_rows"])

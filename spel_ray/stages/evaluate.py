@@ -312,6 +312,11 @@ def blocking_quality(records: ray.data.Dataset, pairs: ray.data.Dataset,
 
     parts = (records.map_batches(local_top, batch_format="pyarrow")
              .to_pandas())
+    if "row_id" not in parts.columns:   # empty Dataset loses its schema
+        parts = pd.DataFrame({c: pd.Series(dtype=object)
+                              for c in sample_cols})
+        parts["row_id"] = parts["row_id"].astype("int64")
+        parts["n_chars"] = parts["n_chars"].astype("int64")
     ranks = parts["row_id"].to_numpy(np.int64).view(np.uint64) * mult
     parts = parts.iloc[np.argsort(ranks, kind="stable")[:sample_size]] \
         .reset_index(drop=True)

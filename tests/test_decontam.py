@@ -82,3 +82,21 @@ def test_benchmark_hashes_sorted_distinct():
     b = benchmark_ngram_hashes(_bench(), n=13)
     assert b.dtype == np.uint64
     assert (np.diff(b.astype(np.float64)) > 0).all()
+
+
+def test_decontaminate_empty_benchmark():
+    """An empty benchmark (schema-less Dataset) means nothing is
+    contaminated — not a KeyError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.decontam import decontaminate
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": [" ".join(f"w{i}" for i in range(20))]}))
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = decontaminate(docs, empty).to_pandas()
+    assert len(out) == 1 and not bool(out.loc[0, "contaminated"])

@@ -159,3 +159,17 @@ def test_sorted_neighborhood_edge_cases():
     out = sorted_neighborhood_pairs(rd.from_arrow(t), window=2) \
         .to_pandas().sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
     assert len(out) == 3    # all C(3,2) pairs within window 2
+
+
+def test_snm_surrogate_large_string_offsets():
+    """large_string columns carry int64 offsets — surrogates must match the
+    (order-preserving) string-typed result exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spel_ray.functions.dedup import _key_surrogates
+
+    keys = ["apple", "banana", "cherry", "aardvark", "", "zeta " * 10]
+    small = _key_surrogates(pa.array(keys, pa.string()))
+    large = _key_surrogates(pa.array(keys, pa.large_string()))
+    assert np.array_equal(small, large)

@@ -31,13 +31,15 @@ def _canon(df) -> pd.DataFrame:
     if not isinstance(df, pd.DataFrame):
         df = df.to_pandas()
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    # round floats BEFORE sorting: two frames equal at the checked
+    # precision must canonicalize to the same row order even when raw
+    # sub-1e-6 float noise would tie-break differently
     for c in df.columns:
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
         elif df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
-    return df
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def _value_hash(df: pd.DataFrame) -> str:
