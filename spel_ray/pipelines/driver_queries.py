@@ -1011,3 +1011,34 @@ def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
     return gopher_rules(ds).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
+
+
+def q_running_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running revenue: cumulative o_totalprice over each
+    customer's orders in (date, orderkey) order — the cumulative-window
+    analog of SQL SUM() OVER (PARTITION ... ORDER ...), computed as one
+    vectorized pandas cumsum per bucket (all customers of a bucket
+    together). RAW doubles: both sides accumulate in the identical
+    ascending order, so the IEEE partial sums agree bit-for-bit."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "running_total": pd.Series(dtype="float64")})
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        run = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "running_total": run.to_numpy(np.float64)})
+
+    out = bucketed_groupby(ds, "o_custkey", running, num_buckets=16)
+    return out.to_pandas().sort_values(["o_custkey", "o_orderkey"]) \
+        .reset_index(drop=True)

@@ -45,7 +45,8 @@ ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "ann_topk", "events_window", "asof_join", "train_split",
            "blocking_quality", "cluster_sizes", "linkage_docs_incremental",
            "sorted_neighborhood", "customers_no_orders",
-           "customers_big_orders", "event_gaps", "gopher_rules"]
+           "customers_big_orders", "event_gaps", "gopher_rules",
+           "running_revenue"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
