@@ -394,3 +394,50 @@ def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                            "c_name": pd.Series(dtype=object)})
     return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(year, month) over order revenue — month leaves, year
+    subtotals, grand total in one result (rolled-up levels carry the -1
+    sentinel instead of NULL so the int64 hash compare stays exact). The
+    leaf aggregate is the usual partial-then-finalize shuffle; the rollup
+    levels re-aggregate the tiny leaf table, never the input."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"])
+        m = pc.month(batch["o_orderdate"])
+        df = pd.DataFrame({
+            "o_year": y.to_numpy(zero_copy_only=False).astype(np.int64),
+            "o_month": m.to_numpy(zero_copy_only=False).astype(np.int64),
+            "price": batch["o_totalprice"].to_numpy()})
+        g = df.groupby(["o_year", "o_month"], sort=False).agg(
+            total_price=("price", "sum"), n_orders=("price", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_year", "o_month"], sort=False).agg(
+            total_price=("total_price", "sum"),
+            n_orders=("n_orders", "sum")).reset_index()
+
+    leaves = finalize_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_year", "o_month"], final).to_pandas()
+    # rollup levels from the (tiny) leaf table — sum in sorted leaf order
+    # on BOTH sides so the float partial sums agree bit-for-bit
+    leaves = leaves.sort_values(["o_year", "o_month"]).reset_index(drop=True)
+    years = leaves.groupby("o_year", sort=True).agg(
+        total_price=("total_price", "sum"),
+        n_orders=("n_orders", "sum")).reset_index()
+    years["o_month"] = np.int64(-1)
+    grand = pd.DataFrame({
+        "o_year": [np.int64(-1)], "o_month": [np.int64(-1)],
+        "total_price": [years.sort_values("o_year")["total_price"].sum()],
+        "n_orders": [int(years["n_orders"].sum())]})
+    out = pd.concat([leaves, years[leaves.columns], grand[leaves.columns]],
+                    ignore_index=True)
+    out["total_price"] = out["total_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["o_year", "o_month"]).reset_index(drop=True)

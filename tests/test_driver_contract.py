@@ -46,7 +46,7 @@ ORACLED = ["lineitem_agg", "filter_project", "top_orders", "distinct_flags",
            "blocking_quality", "cluster_sizes", "linkage_docs_incremental",
            "sorted_neighborhood", "customers_no_orders",
            "customers_big_orders", "event_gaps", "gopher_rules",
-           "running_revenue"]
+           "running_revenue", "revenue_rollup"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
