@@ -83,6 +83,14 @@ _QUALITY_ORACLE_SQL = """
         """
 
 
+# NOTE on the Knuth splits below: every (doc_id * 2654435761) oracle site
+# computes in HUGEINT with an explicit mod 2^64 before the final mod —
+# modeling the engine's uint64 wraparound instead of erroring on BIGINT
+# overflow for doc_id ≥ ~3.47e9 (ADVICE r4 #2; same pattern as the
+# blocking-quality bq_rank CTE). For moduli dividing 2^64 the extra mod is
+# a no-op at today's id range, so existing hashes are unchanged.
+
+
 def _blake_salt(s: str) -> int:
     """The engine's per-lang exact-key salt (blocking._lang_salts)."""
     import hashlib
@@ -510,11 +518,19 @@ shingles AS MATERIALIZED (
   SELECT doc_id, {xorshift('h2', 33)} AS h FROM sh3
 ),
 csig AS MATERIALIZED (
-  SELECT doc_id, cp.p,
+  -- 16-way doc_id-partitioned UNION ALL: the (shingles × perms) projection
+  -- is the oracle's dominant cost (~9.4M modmul rows) and DuckDB's morsel
+  -- parallelism sees only ~2 morsels in the 146k-row shingle scan;
+  -- independent UNION ALL branches run as parallel pipelines (measured
+  -- 34s → 3.8s on the sf0.01 corpus, bit-identical — each doc's GROUP BY
+  -- is complete within its branch since branches partition doc_id)
+  {" UNION ALL ".join(
+      f'''SELECT doc_id, cp.p,
          MIN(({modmul('h', 'cp.a')} + cp.b) % {M64}) % 65536::HUGEINT
              AS slot
   FROM shingles, {perm_values('cp', mh.A, mh.B)}
-  GROUP BY doc_id, cp.p
+  WHERE (doc_id % 16 + 16) % 16 = {b}
+  GROUP BY doc_id, cp.p''' for b in range(16))}
 ),
 toks AS (
   SELECT doc_id,
@@ -686,80 +702,100 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry order is DELIBERATE (VERDICT r4 'next round' #1): the
+    driver's correctness snapshot is positionally capped at 50 rows, so the
+    first 50 slots carry every operator family's newest / least-proven
+    representative — the flagship linkage family, every dedup modality, the
+    golden-oracled scorers/alignment, the full ANN family, and every query
+    whose engine or oracle changed this round. Long-stable single-kernel
+    rows (token counts, langid, fingerprints, simple projections — green
+    since r2/r3) sit past the cap; ``tools/check_all.py`` still verifies
+    the FULL registry before every snapshot."""
     from spel_ray.pipelines import driver_queries as dq
     from spel_ray.pipelines import relational as rel
 
     return {
-        # relational operator surface (oracled)
-        "lineitem_agg": rel.q_lineitem_agg,
-        "orders_by_month": rel.q_orders_by_month,
-        "filter_project": rel.q_filter_project,
-        "customer_nation": rel.q_customer_nation,
-        "orders_customer_join": rel.q_orders_customer_join,
-        "top_orders": rel.q_top_orders,
-        "events_window": rel.q_events_window,
-        "distinct_flags": rel.q_distinct_flags,
-        "part_type_stats": rel.q_part_type_stats,
-        "customers_no_orders": rel.q_customers_no_orders,
-        "revenue_rollup": rel.q_revenue_rollup,
-        "customers_big_orders": rel.q_customers_big_orders,
-        "event_gaps": dq.q_event_gaps,
-        "gopher_rules": dq.q_gopher_rules,
-        "running_revenue": dq.q_running_revenue,
-        "topk_per_group": dq.q_topk_per_group,
-        "union_names": dq.q_union_names,
-        "sessionize": dq.q_sessionize,
-        "asof_join": dq.q_asof_join,
-        "sliding_window": dq.q_sliding_window,
-        "embedding_stats": dq.q_embedding_stats,
-        "simhash_clusters": dq.q_simhash_clusters_docs,
-        # documents / training-data operators
-        "train_split": dq.q_train_split,
-        "exact_dedup_docs": dq.q_exact_dedup_docs,
-        "token_counts": dq.q_token_counts,
-        "doc_lengths": dq.q_doc_lengths,
-        "lang_distribution": dq.q_lang_distribution,
-        "stratified_sample": dq.q_stratified_sample,
-        "token_vocab": dq.q_token_vocab,
-        "line_stats": dq.q_line_stats,
-        "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
-        "scrub_docs": dq.q_scrub_docs,
-        "quality_quantiles": dq.q_quality_quantiles,
-        "tfidf_top_terms": dq.q_tfidf_top_terms,
-        "shuffle_export": dq.q_shuffle_export,
-        "langid": dq.q_langid,
-        "quality": dq.q_quality,
-        "doc_fingerprints": dq.q_doc_fingerprints,
-        "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
-        "ngram_distinct_counts": dq.q_ngram_distinct_counts,
-        "minhash_dedup_docs": dq.q_minhash_dedup_docs,
-        "curation_basic": dq.q_curation_basic,
-        "curation_full": dq.q_curation_full,
+        # ---- slots 1-50: the driver-checked set -------------------------
+        # flagship linkage family
         "linkage_docs": dq.q_linkage_docs,
         "linkage_docs_verified": dq.q_linkage_docs_verified,
-        "simhash_candidates": dq.q_simhash_candidates_docs,
-        "hard_negatives": dq.q_hard_negatives,
-        "blocking_quality": dq.q_blocking_quality,
-        "cluster_sizes": dq.q_cluster_sizes,
-        "sorted_neighborhood": dq.q_sorted_neighborhood,
         "linkage_docs_incremental": dq.q_linkage_docs_incremental,
-        "candidate_resolution": dq.q_candidate_resolution,   # golden-oracled
-        "candidate_multigrain": dq.q_candidate_multigrain,   # golden-oracled
-        "chunk_neardup": dq.q_chunk_neardup,
+        "cluster_sizes": dq.q_cluster_sizes,
+        "blocking_quality": dq.q_blocking_quality,
+        "hard_negatives": dq.q_hard_negatives,
+        "sorted_neighborhood": dq.q_sorted_neighborhood,
+        # dedup modalities
+        "minhash_dedup_docs": dq.q_minhash_dedup_docs,
+        "exact_dedup_docs": dq.q_exact_dedup_docs,
+        "simhash_candidates": dq.q_simhash_candidates_docs,
+        "simhash_clusters": dq.q_simhash_clusters_docs,
         "substring_dedup": dq.q_substring_dedup,
+        "chunk_neardup": dq.q_chunk_neardup,
         "decontaminate": dq.q_decontaminate,
+        "embedding_neardup": dq.q_embedding_neardup,   # planted-pair oracle
+        # candidate scorers / alignment / markup (golden-parquet oracles)
+        "candidate_resolution": dq.q_candidate_resolution,
+        "candidate_multigrain": dq.q_candidate_multigrain,
+        "align_segmentations": dq.q_align_segmentations,
         "gpt_span_parse": dq.q_gpt_span_parse,
-        "align_segmentations": dq.q_align_segmentations,     # golden-oracled
-        # embeddings
+        # ANN family
         "ann_topk": dq.q_ann_topk,
         "ann_topk_lsh": dq.q_ann_topk_lsh,   # oracled: recall-1.0 params ⇒
                                              # must equal exact brute force
-        "ann_topk_ivf": dq.q_ann_topk_ivf,           # rows-only (approximate)
         "ann_topk_ivf_exact": dq.q_ann_topk_ivf_exact,  # oracled: nprobe =
                                                         # n_centroids ⇒ exact
+        "ann_topk_ivf": dq.q_ann_topk_ivf,           # rows-only (approximate)
         "ann_recall_lsh": dq.q_ann_recall_lsh,       # oracled constant table
         "ann_recall_ivf": dq.q_ann_recall_ivf,       # oracled constant table
-        "embedding_neardup": dq.q_embedding_neardup,
+        # relational / window surface (every entry here changed round 5:
+        # Arrow-native partials, name-based aggregate selection, the µs
+        # LAG truncation, or is new)
+        "orders_left_join": rel.q_orders_left_join,  # NEW: left outer join
+        "order_ranks": dq.q_order_ranks,             # NEW: row_number window
+        "lineitem_agg": rel.q_lineitem_agg,
+        "orders_by_month": rel.q_orders_by_month,
+        "customer_nation": rel.q_customer_nation,
+        "part_type_stats": rel.q_part_type_stats,
+        "events_window": rel.q_events_window,
+        "event_gaps": dq.q_event_gaps,
+        "distinct_flags": rel.q_distinct_flags,
+        "revenue_rollup": rel.q_revenue_rollup,
+        "orders_customer_join": rel.q_orders_customer_join,
+        "customers_no_orders": rel.q_customers_no_orders,
+        "customers_big_orders": rel.q_customers_big_orders,
+        "top_orders": rel.q_top_orders,
+        # curation / sampling (Knuth-split oracles got the HUGEINT fix)
+        "curation_basic": dq.q_curation_basic,
+        "curation_full": dq.q_curation_full,
+        "train_split": dq.q_train_split,
+        "stratified_sample": dq.q_stratified_sample,
+        "shuffle_export": dq.q_shuffle_export,
+        # text quality / streaming representatives
+        "gopher_rules": dq.q_gopher_rules,
+        "tfidf_top_terms": dq.q_tfidf_top_terms,
+        "scrub_docs": dq.q_scrub_docs,
+        "quality_quantiles": dq.q_quality_quantiles,
+        "sessionize": dq.q_sessionize,
+        "asof_join": dq.q_asof_join,
+        # ---- past the 50-slot snapshot cap: long-stable rows, still
+        # verified every round by tools/check_all.py ----------------------
+        "sliding_window": dq.q_sliding_window,
+        "running_revenue": dq.q_running_revenue,
+        "topk_per_group": dq.q_topk_per_group,
+        "union_names": dq.q_union_names,
+        "embedding_stats": dq.q_embedding_stats,
+        "filter_project": rel.q_filter_project,
+        "token_counts": dq.q_token_counts,
+        "doc_lengths": dq.q_doc_lengths,
+        "lang_distribution": dq.q_lang_distribution,
+        "token_vocab": dq.q_token_vocab,
+        "line_stats": dq.q_line_stats,
+        "ngram_jaccard_pairs": dq.q_ngram_jaccard_pairs,
+        "doc_fingerprints": dq.q_doc_fingerprints,
+        "doc_shingle_fingerprint": dq.q_doc_shingle_fingerprint,
+        "ngram_distinct_counts": dq.q_ngram_distinct_counts,
+        "langid": dq.q_langid,
+        "quality": dq.q_quality,
     }
 
 
@@ -919,6 +955,25 @@ def oracle_sql() -> dict[str, str]:
                             AND o.o_totalprice > 400000)
             ORDER BY c_custkey
         """,
+        # LEFT OUTER JOIN with real null-extension (nulls → -1 sentinels so
+        # the int64 hash compare stays exact, the asof_join convention)
+        "orders_left_join": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_totalprice, -1.0) AS o_totalprice
+            FROM customer c
+            LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+              ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey, o_orderkey
+        """,
+        "order_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS order_rank
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
         "running_revenue": """
             SELECT o_custkey, o_orderkey,
                    SUM(o_totalprice) OVER (
@@ -999,14 +1054,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "train_split": """
             SELECT doc_id,
-                   CASE WHEN (doc_id * 2654435761) % 100 < 80
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 18446744073709551616::HUGEINT % 100 < 80
                         THEN 'train' ELSE 'test' END AS part
             FROM documents
             ORDER BY doc_id
         """,
         "curation_basic": """
             SELECT doc_id, text,
-                   CASE WHEN (doc_id * 2654435761) % 100 < 80
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 18446744073709551616::HUGEINT % 100 < 80
                         THEN 'train' ELSE 'test' END AS part
             FROM (
                 SELECT MIN(doc_id) AS doc_id, text
@@ -1029,7 +1086,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY lang
-                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 50
+                ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 18446744073709551616::HUGEINT % 4294967296,
+                         doc_id) <= 50
             ORDER BY doc_id
         """,
         "token_vocab": _ascii_ws_guarded("""
@@ -1095,7 +1154,8 @@ def oracle_sql() -> dict[str, str]:
             """,
             final_select="""
             SELECT b.doc_id, b.text,
-                   CASE WHEN (b.doc_id * 2654435761) % 100 < 80
+                   CASE WHEN (CAST(b.doc_id AS HUGEINT) * 2654435761)
+                        % 18446744073709551616::HUGEINT % 100 < 80
                         THEN 'train' ELSE 'test' END AS part
             FROM base b
             JOIN cc ON cc.doc_id = b.doc_id AND cc.cluster_id = b.doc_id
@@ -1204,7 +1264,8 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      regexp_extract_all(COALESCE(text, ''), '\\S+') AS w,
-                     (doc_id * 2654435761) % 100 < 80 AS is_train
+                     (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 18446744073709551616::HUGEINT % 100 < 80 AS is_train
               FROM documents
             ), bench AS (
               SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
@@ -1320,7 +1381,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shuffle_export": """
             SELECT doc_id,
-                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)
+                   CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 18446744073709551616::HUGEINT % 4294967296
+                        AS BIGINT)
                        AS shuffle_rank
             FROM documents
             ORDER BY shuffle_rank, doc_id
@@ -1470,26 +1533,52 @@ def oracle_sql() -> dict[str, str]:
         # deterministic (seeded k-means over a deterministic limit()
         # sample): at the driver's sf0.01 corpus the recall table is the
         # literal below (verified stable across runs). Literals are
-        # sf0.01-specific by design — the driver's correctness pass runs
-        # only at sf0.01; regenerate via q_ann_recall_ivf if testdata
-        # changes.
+        # sf0.01-specific by design — the corpus guard CTE errors LOUDLY
+        # (naming the regeneration step) if the embeddings table is not the
+        # exact sf0.01 corpus the literal was captured on, instead of
+        # failing the hash with no hint (ADVICE r4 #4).
         "ann_recall_ivf": """
-            SELECT * FROM (VALUES
+            WITH ivf_guard AS (
+              SELECT CASE WHEN (SELECT ROUND(SUM(embedding[1]), 3)
+                               FROM embeddings) <> 1.082
+                   THEN error('ann_recall_ivf oracle is a constant table '
+                              || 'captured on the sf0.01 embeddings corpus '
+                              || '(checksum 1.082); this corpus differs — '
+                              || 'regenerate the literal by running '
+                              || 'q_ann_recall_ivf on it')
+                   ELSE 0 END AS ok)
+            SELECT t.* FROM (VALUES
                 (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), 1.0),
                 (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(9  AS BIGINT), 0.9),
                 (CAST(2 AS BIGINT), CAST(10 AS BIGINT), CAST(9  AS BIGINT), 0.9),
                 (CAST(3 AS BIGINT), CAST(10 AS BIGINT), CAST(9  AS BIGINT), 0.9),
                 (CAST(4 AS BIGINT), CAST(10 AS BIGINT), CAST(9  AS BIGINT), 0.9)
-            ) t(query_id, n_exact, n_hit, recall)
+            ) t(query_id, n_exact, n_hit, recall), ivf_guard
+            WHERE ivf_guard.ok = 0
             ORDER BY query_id
         """,
+        # planted near-dups (VERDICT r4 #2): vector 1_000_000+i is
+        # v_i + 0.2 * v_{i+10}, derived in float64 on BOTH sides (cast the
+        # float32 storage to DOUBLE before the arithmetic), so the oracle
+        # proves real pair-finding (cosine ≈ 0.98), not empty=empty
         "embedding_neardup": """
+            WITH u AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings WHERE vec_id < 500
+              UNION ALL
+              SELECT 1000000 + a.vec_id AS vec_id,
+                     list_transform(generate_series(1, len(a.embedding)),
+                         k -> CAST(a.embedding[k] AS DOUBLE)
+                              + 0.2 * CAST(b.embedding[k] AS DOUBLE))
+                         AS embedding
+              FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 10
+              WHERE a.vec_id < 10
+            )
             SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 5)
                        AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 500 AND b.vec_id < 500
-              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
             ORDER BY id_lo, id_hi
         """,
     }

@@ -127,23 +127,41 @@ def run_bench() -> dict:
         serve_times.append(time.time() - t0)
     serve_med = statistics.median(serve_times)
 
-    # sharded serving over the SAME corpus and probe set (VERDICT r3 'next
-    # round' #7): quantifies the per-probe fan-out overhead (driver sketch →
-    # remote shard probes → merge) vs the in-process single index. n_shards=4
-    # is the multi-node stand-in; hits must match the single index exactly
-    # (the identity is test-pinned, the equal hit count evidences it here).
+    # single-index BATCHED path (link_many): one vectorized sketch pass per
+    # 64-record batch — the deployment shape a bulk consumer uses
+    idx.link_many(contents[:8], langs[:8])          # warm
+    batch_times = []
+    n_hits_batched = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_hits_batched = 0
+        for i in range(0, len(contents), 64):
+            for hits in idx.link_many(contents[i:i + 64], langs[i:i + 64],
+                                      k=5):
+                n_hits_batched += len(hits)
+        batch_times.append(time.time() - t0)
+    batch_med = statistics.median(batch_times)
+
+    # sharded serving over the SAME corpus and probe set, BATCHED probes
+    # (VERDICT r4 'next round' #3): link_many makes ONE actor call per
+    # (shard, 64-record batch) instead of one per (shard, record), so the
+    # actor round-trip amortizes. n_shards=4 is the multi-node stand-in;
+    # hits must match the single index exactly (identity is test-pinned,
+    # the equal hit count evidences it here).
     from spel_ray.serving import ShardedLinkageIndex
 
     sidx = ShardedLinkageIndex.build(read_code_table(serve_corpus),
                                      LinkageConfig(), n_shards=4)
-    sidx.link(contents[0], langs[0])                # warm
+    sidx.link_many(contents[:8], langs[:8])         # warm
     shard_times = []
     n_hits_sharded = 0
     for _ in range(3):
         t0 = time.time()
         n_hits_sharded = 0
-        for c, lg in zip(contents, langs):
-            n_hits_sharded += len(sidx.link(c, lg, k=5))
+        for i in range(0, len(contents), 64):
+            for hits in sidx.link_many(contents[i:i + 64], langs[i:i + 64],
+                                       k=5):
+                n_hits_sharded += len(hits)
         shard_times.append(time.time() - t0)
     shard_med = statistics.median(shard_times)
 
@@ -165,6 +183,8 @@ def run_bench() -> dict:
         "serving_sec_per_doc": round(serve_med / len(contents), 5),
         "serving_index_rows": 50000,
         "serving_hits": n_hits,
+        "serving_batched_links_per_sec": round(len(contents) / batch_med, 1),
+        "serving_batched_hits": n_hits_batched,
         "serving_sharded4_links_per_sec": round(len(contents) / shard_med, 1),
         "serving_sharded4_sec_per_doc": round(shard_med / len(contents), 5),
         "serving_sharded4_hits": n_hits_sharded,

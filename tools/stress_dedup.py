@@ -1,0 +1,137 @@
+"""Stress-point the round-4 dedup modalities at 10× bench scale
+(VERDICT r4 "next round" #7): one 2M-document run each of
+``dedup_repeated_substrings`` (substring-level dedup) and ``decontaminate``
+(13-gram benchmark decontamination) over the deterministic synthetic
+corpus, reporting wall time, throughput and the measured exchange /
+broadcast volume — so the two-shuffle scale claim in
+``functions/substring.py`` (module docstring, scale notes) carries a
+number. Results are recorded in BASELINE.md.
+
+Usage:  python tools/stress_dedup.py [n_rows]        (default 2_000_000)
+
+The exchange accounting pass re-runs the cheap explode stage OUTSIDE the
+timed region (map-only; the timed region's cost is dominated by the two
+bucketed shuffles it feeds).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def docs_dataset(path: str) -> ray.data.Dataset:
+    """Synthetic code table adapted to the documents shape: doc_id is the
+    stable row_id, text is the raw content."""
+    from spel_ray.stages.fingerprint import fingerprint_batch
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch, strip_comments=False)
+        return pa.table({"doc_id": fp["row_id"], "text": batch["content"]})
+
+    return ray.data.read_parquet(path).map_batches(
+        adapt, batch_format="pyarrow")
+
+
+def main() -> None:
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from spel_ray.functions.decontam import decontaminate
+    from spel_ray.functions.substring import (dedup_repeated_substrings,
+                                              explode_chunks)
+    from spel_ray.sources.synth import synth_parquet_path
+
+    path = synth_parquet_path(N_ROWS, seed=42)
+    # warm page cache + worker pool so the timed runs measure the operators
+    docs_dataset(path).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow").count()
+
+    out: dict = {"metric": "dedup_stress", "unit": "sec",
+                 "n_docs": N_ROWS, "num_cpus": NUM_CPUS}
+
+    # ---- substring dedup (two bucketed shuffles over the chunk text) ----
+    t0 = time.time()
+    res = dedup_repeated_substrings(docs_dataset(path), window=16,
+                                    num_buckets=max(64, NUM_CPUS * 2))
+    agg = res.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "chunks": pa.array([int(np.sum(t["n_chunks"]))], pa.int64()),
+            "removed": pa.array(
+                [int(np.sum(t["n_chunks_removed"]))], pa.int64()),
+            "chars_removed": pa.array(
+                [int(np.sum(t["n_chars_removed"]))], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    sub_sec = time.time() - t0
+    out["substring_dedup_sec"] = round(sub_sec, 2)
+    out["substring_docs_per_sec"] = round(int(agg["rows"]) / sub_sec, 1)
+    out["substring_rows_out"] = int(agg["rows"])
+    out["substring_chunks"] = int(agg["chunks"])
+    out["substring_chunks_removed"] = int(agg["removed"])
+    out["substring_chars_removed"] = int(agg["chars_removed"])
+
+    # exchange accounting (untimed): the chunk table crosses the exchange
+    # twice — keyed by chunk hash for the election, by doc_id for rewrite
+    ex = explode_chunks(docs_dataset(path), window=16).map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "chars": pa.array(
+                [int(np.sum([len(c) for c in t["chunk"].to_pylist()]))],
+                pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    per_pass = int(ex["chars"]) + 24 * int(ex["rows"])   # text + 3 int64s
+    out["substring_exchange_rows_per_pass"] = int(ex["rows"])
+    out["substring_exchange_mb_total"] = round(2 * per_pass / 1e6, 1)
+
+    # ---- 13-gram decontamination (broadcast bench side, streaming train)
+    def part(want_train: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], np.int64).view(np.uint64)
+            h = (ids * np.uint64(2654435761)) % np.uint64(100)
+            mask = (h < 80) if want_train else (h >= 80)
+            return batch.filter(pa.array(mask))
+        return f
+
+    from spel_ray.functions.decontam import benchmark_ngram_hashes
+    docs = docs_dataset(path)
+    train = docs.map_batches(part(True), batch_format="pyarrow")
+    bench = docs.map_batches(part(False), batch_format="pyarrow")
+
+    t0 = time.time()
+    res = decontaminate(train, bench, n=13)
+    agg = res.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "contaminated": pa.array(
+                [int(np.sum(t["contaminated"]))], pa.int64()),
+            "ngrams": pa.array([int(np.sum(t["n_ngrams"]))], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    dec_sec = time.time() - t0
+    out["decontaminate_sec"] = round(dec_sec, 2)
+    out["decontaminate_docs_per_sec"] = round(int(agg["rows"]) / dec_sec, 1)
+    out["decontaminate_train_rows"] = int(agg["rows"])
+    out["decontaminate_contaminated"] = int(agg["contaminated"])
+    out["decontaminate_train_ngrams"] = int(agg["ngrams"])
+    # the broadcast side: one sorted uint64 hash array shipped via ray.put
+    bench_hashes = benchmark_ngram_hashes(bench, n=13)
+    out["decontaminate_broadcast_mb"] = round(bench_hashes.nbytes / 1e6, 2)
+
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
