@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": dq.q_asof_join,
         # ---- past the 50-slot snapshot cap: long-stable rows, still
         # verified every round by tools/check_all.py ----------------------
+        "orders_full_join": rel.q_orders_full_join,   # NEW r5 (left join's
+                                                      # full=True mode is the
+                                                      # in-cap representative)
         "sliding_window": dq.q_sliding_window,
         "running_revenue": dq.q_running_revenue,
         "topk_per_group": dq.q_topk_per_group,
@@ -965,6 +968,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
               ON o.o_custkey = c.c_custkey
             ORDER BY c.c_custkey, o_orderkey
+        """,
+        "orders_full_join": """
+            SELECT COALESCE(c.c_custkey, -1) AS c_custkey,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_totalprice, -1.0) AS o_totalprice
+            FROM (SELECT c_custkey FROM customer WHERE c_custkey < 700) c
+            FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+              ON o.o_custkey = c.c_custkey
+            ORDER BY 1, 2
         """,
         "order_ranks": """
             SELECT o_custkey, o_orderkey,

@@ -385,19 +385,22 @@ def _key_filter_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
 # -------------------------------------------------------- left outer join
 def left_outer_join(left: ray.data.Dataset, right: ray.data.Dataset,
-                    left_key: str, right_key: str, *,
+                    left_key: str, right_key: str, *, full: bool = False,
                     num_buckets: int = 32) -> ray.data.Dataset:
     """Bucketed LEFT OUTER JOIN: every left row survives — duplicated per
     matching right row with the right payload attached, null-extended on a
     miss (the reference's candidate probe keeps the row as ``O`` when the
     lookup misses, ``candidate_manager.py:58-74`` — left-join semantics).
+    With ``full=True``, FULL OUTER: unmatched RIGHT rows also surface,
+    null-extended on the left columns.
 
     Both sides may be arbitrarily large: one hash co-partition shuffle on
     the key, then each bucket answers with a vectorized sorted-key range
     join (searchsorted + repeat — no per-row Python). A NULL key on either
     side never matches (SQL equality), but NULL-keyed LEFT rows still
-    surface null-extended. Output columns = left columns + right payload
-    (right columns minus ``right_key``), with Arrow-typed nulls."""
+    surface null-extended (and NULL-keyed RIGHT rows too when ``full``).
+    Output columns = left columns + right payload (right columns minus
+    ``right_key``), with Arrow-typed nulls."""
     from spel_ray.state.shuffle import add_bucket_column
 
     left_cols = left.columns()
@@ -421,11 +424,15 @@ def left_outer_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        key = pc.cast(batch[right_key], pa.int64())
-        keep = pc.is_valid(key)         # NULL right keys can never match
-        b = batch.filter(keep)
+        # NULL right keys can never match; a LEFT join drops them here, a
+        # FULL join keeps them to surface null-extended
+        if full:
+            b = batch
+        else:
+            b = batch.filter(pc.is_valid(pc.cast(batch[right_key],
+                                                 pa.int64())))
         key = pc.cast(b[right_key], pa.int64())
-        t = pa.table({"_key": key, "_bkey": key,
+        t = pa.table({"_key": key, "_bkey": pc.fill_null(key, 0),
                       "_side": pa.array(np.ones(b.num_rows, np.int8),
                                         pa.int8())})
         for c in left_cols:
@@ -446,8 +453,11 @@ def left_outer_join(left: ray.data.Dataset, right: ray.data.Dataset,
         lkey_arr = lrows["_key"]
         lnull = np.asarray(pc.is_null(lkey_arr), dtype=bool)
         lkeys = np.asarray(pc.fill_null(lkey_arr, 0), dtype=np.int64)
-        rkeys = np.asarray(rrows["_key"], dtype=np.int64)
-        order = np.argsort(rkeys, kind="stable")
+        rkey_arr = rrows["_key"]
+        rnull = np.asarray(pc.is_null(rkey_arr), dtype=bool)
+        rkeys = np.asarray(pc.fill_null(rkey_arr, 0), dtype=np.int64)
+        vidx = np.flatnonzero(~rnull)   # only valid-key right rows join
+        order = vidx[np.argsort(rkeys[vidx], kind="stable")]
         rk = rkeys[order]
         lo = np.searchsorted(rk, lkeys, side="left")
         hi = np.searchsorted(rk, lkeys, side="right")
@@ -458,12 +468,32 @@ def left_outer_join(left: ray.data.Dataset, right: ray.data.Dataset,
         offs = (np.arange(rep.sum(), dtype=np.int64)
                 - np.repeat(np.cumsum(rep) - rep, rep))
         matched = np.repeat(cnt > 0, rep)
-        ridx = pa.array(np.where(matched, order[starts + offs], 0),
+        # np.where evaluates both branches: guard the gather when this
+        # bucket has no valid-key right rows at all (order is empty)
+        rtake = (order[starts + offs] if len(order)
+                 else np.zeros(len(matched), np.int64))
+        ridx = pa.array(np.where(matched, rtake, 0),
                         pa.int64(), mask=~matched)   # null idx → null take
         cols = {c: lrows[c].take(pa.array(lidx)) for c in left_cols}
         for c in right_cols:
             cols[c] = rrows[c].take(ridx)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if not full:
+            return out
+        # FULL OUTER: append right rows no left key matched (plus the
+        # NULL-keyed right rows), left columns null-extended
+        lk = np.unique(lkeys[~lnull])
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, rk), 0, len(lk) - 1)
+            r_matched = lk[pos] == rk
+        else:
+            r_matched = np.zeros(len(rk), dtype=bool)
+        un = np.concatenate([order[~r_matched], np.flatnonzero(rnull)])
+        extra = {c: pa.nulls(len(un), left_types[c]) for c in left_cols}
+        take = pa.array(un, pa.int64())
+        for c in right_cols:
+            extra[c] = rrows[c].take(take)
+        return pa.concat_tables([out, pa.table(extra)])
 
     with_bucket = both.map_batches(
         lambda b: add_bucket_column(b, "_bkey", num_buckets),
@@ -493,6 +523,36 @@ def q_orders_left_join(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "c_custkey": batch["c_custkey"],
             "c_name": batch["c_name"],
+            "o_orderkey": pc.fill_null(batch["o_orderkey"], -1),
+            "o_totalprice": pc.fill_null(batch["o_totalprice"], -1.0)})
+
+    df = out.map_batches(fin, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def q_orders_full_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN driver row: customers with c_custkey < 700 against
+    >400k orders — unmatched rows surface from BOTH sides (left-only =
+    small-key customers without a big order; right-only = big orders of
+    custkey ≥ 700), nulls as -1 sentinels."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def small(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["c_custkey"], 700))
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
+
+    out = left_outer_join(
+        cust.map_batches(small, batch_format="pyarrow"),
+        orders.map_batches(big, batch_format="pyarrow"),
+        "c_custkey", "o_custkey", full=True, num_buckets=16)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.fill_null(batch["c_custkey"], -1),
             "o_orderkey": pc.fill_null(batch["o_orderkey"], -1),
             "o_totalprice": pc.fill_null(batch["o_totalprice"], -1.0)})
 

@@ -116,3 +116,33 @@ def test_join_null_key_semantics():
     assert sorted(anti["v"]) == ["a", "b"]       # NULL row kept; 3 matched
     semi = semi_join(left, right, "k", "rk", num_buckets=2).to_pandas()
     assert sorted(semi["v"]) == ["c"]
+
+
+def test_left_and_full_outer_join_semantics():
+    """LEFT: every left row survives (duplicated per match, null-extended
+    on miss; NULL left keys match nothing but still surface). FULL: also
+    the unmatched right rows, incl. NULL-keyed ones, left-null-extended."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.pipelines.relational import left_outer_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3, 4], pa.int64()),
+        "v": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([3, 3, None, 9], pa.int64()),
+        "w": ["x", "y", "z", "q"]}))
+
+    lj = left_outer_join(left, right, "k", "rk", num_buckets=2) \
+        .to_pandas().sort_values(["v", "w"], na_position="last")
+    # 1→miss, None→miss, 3→two matches, 4→miss
+    assert list(lj["v"]) == ["a", "b", "c", "c", "d"]
+    assert list(lj["w"].fillna("-")) == ["-", "-", "x", "y", "-"]
+
+    fj = left_outer_join(left, right, "k", "rk", full=True, num_buckets=2) \
+        .to_pandas()
+    assert len(fj) == 7                      # 5 left rows + right z, q
+    right_only = fj[fj["v"].isna()]
+    assert sorted(right_only["w"]) == ["q", "z"]
+    assert right_only["k"].isna().all()
