@@ -92,11 +92,12 @@ def _batch_query_features(cfg: LinkageConfig, sketch: "MinHasher",
     out: list[dict | None] = [None] * n
     order = np.argsort(f["row_id"], kind="stable")
     rids = f["row_id"][order]
-    change = np.flatnonzero(np.r_[True, rids[1:] != rids[:-1]])
-    ends = np.r_[change[1:], len(rids)]
-    for s, e in zip(change, ends):
-        sel = order[s:e]
-        out[rid_to_qi[int(rids[s])]] = {k: v[sel] for k, v in f.items()}
+    if len(rids):                    # empty batch → every query probes []
+        change = np.flatnonzero(np.r_[True, rids[1:] != rids[:-1]])
+        ends = np.r_[change[1:], len(rids)]
+        for s, e in zip(change, ends):
+            sel = order[s:e]
+            out[rid_to_qi[int(rids[s])]] = {k: v[sel] for k, v in f.items()}
     return out
 
 

@@ -143,6 +143,15 @@ def test_link_many_matches_link():
         ray.kill(a)
 
 
+def test_link_many_edge_batches():
+    """Empty batch and empty/None contents must not crash and must match
+    per-record link()."""
+    idx = LinkageIndex.build(_corpus(), LinkageConfig())
+    assert idx.link_many([]) == []
+    assert idx.link_many(["", None], ["txt", "txt"]) == [
+        idx.link("", "txt"), idx.link("", "txt")]
+
+
 def test_link_many_with_live_delta():
     """link_many must see upserted rows exactly like link() does."""
     idx = LinkageIndex.build(_corpus(), LinkageConfig())
