@@ -447,60 +447,69 @@ def left_outer_join(left: ray.data.Dataset, right: ray.data.Dataset,
     both = lt.select_columns(["_key", "_bkey", "_side"] + out_cols).union(
         rt.select_columns(["_key", "_bkey", "_side"] + out_cols))
 
-    def bucket_join(t: pa.Table) -> pa.Table:
-        lrows = t.filter(pc.equal(t["_side"], 0))
-        rrows = t.filter(pc.equal(t["_side"], 1))
-        lkey_arr = lrows["_key"]
-        lnull = np.asarray(pc.is_null(lkey_arr), dtype=bool)
-        lkeys = np.asarray(pc.fill_null(lkey_arr, 0), dtype=np.int64)
-        rkey_arr = rrows["_key"]
-        rnull = np.asarray(pc.is_null(rkey_arr), dtype=bool)
-        rkeys = np.asarray(pc.fill_null(rkey_arr, 0), dtype=np.int64)
-        vidx = np.flatnonzero(~rnull)   # only valid-key right rows join
-        order = vidx[np.argsort(rkeys[vidx], kind="stable")]
-        rk = rkeys[order]
-        lo = np.searchsorted(rk, lkeys, side="left")
-        hi = np.searchsorted(rk, lkeys, side="right")
-        cnt = np.where(lnull, 0, hi - lo)
-        rep = np.maximum(cnt, 1)       # misses still emit one null row
-        lidx = np.repeat(np.arange(len(lkeys), dtype=np.int64), rep)
-        starts = np.repeat(np.where(cnt > 0, lo, 0), rep)
-        offs = (np.arange(rep.sum(), dtype=np.int64)
-                - np.repeat(np.cumsum(rep) - rep, rep))
-        matched = np.repeat(cnt > 0, rep)
-        # np.where evaluates both branches: guard the gather when this
-        # bucket has no valid-key right rows at all (order is empty)
-        rtake = (order[starts + offs] if len(order)
-                 else np.zeros(len(matched), np.int64))
-        ridx = pa.array(np.where(matched, rtake, 0),
-                        pa.int64(), mask=~matched)   # null idx → null take
-        cols = {c: lrows[c].take(pa.array(lidx)) for c in left_cols}
-        for c in right_cols:
-            cols[c] = rrows[c].take(ridx)
-        out = pa.table(cols)
-        if not full:
-            return out
-        # FULL OUTER: append right rows no left key matched (plus the
-        # NULL-keyed right rows), left columns null-extended
-        lk = np.unique(lkeys[~lnull])
-        if len(lk):
-            pos = np.clip(np.searchsorted(lk, rk), 0, len(lk) - 1)
-            r_matched = lk[pos] == rk
-        else:
-            r_matched = np.zeros(len(rk), dtype=bool)
-        un = np.concatenate([order[~r_matched], np.flatnonzero(rnull)])
-        extra = {c: pa.nulls(len(un), left_types[c]) for c in left_cols}
-        take = pa.array(un, pa.int64())
-        for c in right_cols:
-            extra[c] = rrows[c].take(take)
-        return pa.concat_tables([out, pa.table(extra)])
-
     with_bucket = both.map_batches(
         lambda b: add_bucket_column(b, "_bkey", num_buckets),
         batch_format="pyarrow")
     return with_bucket.groupby("_bucket").map_groups(
-        lambda t: bucket_join(t.drop_columns(["_bucket"])),
+        lambda t: _outer_join_bucket(t.drop_columns(["_bucket"]),
+                                     left_cols, right_cols, left_types,
+                                     full),
         batch_format="pyarrow")
+
+
+def _outer_join_bucket(t: pa.Table, left_cols: list[str],
+                       right_cols: list[str], left_types: dict,
+                       full: bool) -> pa.Table:
+    """One co-partitioned bucket of :func:`left_outer_join` (tagged-union
+    format: ``_key``/``_side`` + left columns + right payload): vectorized
+    sorted-key range join via searchsorted + repeat. Module-level so the
+    SQL-semantics property test can drive it Ray-free."""
+    lrows = t.filter(pc.equal(t["_side"], 0))
+    rrows = t.filter(pc.equal(t["_side"], 1))
+    lkey_arr = lrows["_key"]
+    lnull = np.asarray(pc.is_null(lkey_arr), dtype=bool)
+    lkeys = np.asarray(pc.fill_null(lkey_arr, 0), dtype=np.int64)
+    rkey_arr = rrows["_key"]
+    rnull = np.asarray(pc.is_null(rkey_arr), dtype=bool)
+    rkeys = np.asarray(pc.fill_null(rkey_arr, 0), dtype=np.int64)
+    vidx = np.flatnonzero(~rnull)   # only valid-key right rows join
+    order = vidx[np.argsort(rkeys[vidx], kind="stable")]
+    rk = rkeys[order]
+    lo = np.searchsorted(rk, lkeys, side="left")
+    hi = np.searchsorted(rk, lkeys, side="right")
+    cnt = np.where(lnull, 0, hi - lo)
+    rep = np.maximum(cnt, 1)       # misses still emit one null row
+    lidx = np.repeat(np.arange(len(lkeys), dtype=np.int64), rep)
+    starts = np.repeat(np.where(cnt > 0, lo, 0), rep)
+    offs = (np.arange(rep.sum(), dtype=np.int64)
+            - np.repeat(np.cumsum(rep) - rep, rep))
+    matched = np.repeat(cnt > 0, rep)
+    # np.where evaluates both branches: guard the gather when this
+    # bucket has no valid-key right rows at all (order is empty)
+    rtake = (order[starts + offs] if len(order)
+             else np.zeros(len(matched), np.int64))
+    ridx = pa.array(np.where(matched, rtake, 0),
+                    pa.int64(), mask=~matched)   # null idx → null take
+    cols = {c: lrows[c].take(pa.array(lidx)) for c in left_cols}
+    for c in right_cols:
+        cols[c] = rrows[c].take(ridx)
+    out = pa.table(cols)
+    if not full:
+        return out
+    # FULL OUTER: append right rows no left key matched (plus the
+    # NULL-keyed right rows), left columns null-extended
+    lk = np.unique(lkeys[~lnull])
+    if len(lk):
+        pos = np.clip(np.searchsorted(lk, rk), 0, len(lk) - 1)
+        r_matched = lk[pos] == rk
+    else:
+        r_matched = np.zeros(len(rk), dtype=bool)
+    un = np.concatenate([order[~r_matched], np.flatnonzero(rnull)])
+    extra = {c: pa.nulls(len(un), left_types[c]) for c in left_cols}
+    take = pa.array(un, pa.int64())
+    for c in right_cols:
+        extra[c] = rrows[c].take(take)
+    return pa.concat_tables([out, pa.table(extra)])
 
 
 def q_orders_left_join(sf_dir: str) -> pd.DataFrame:

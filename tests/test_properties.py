@@ -19,6 +19,77 @@ MH = MinHasher(CFG)
 
 
 @st.composite
+def join_tables(draw):
+    """Small random left/right tables with nullable int keys in a narrow
+    range (forcing duplicates, misses, and both-side null keys)."""
+    keys = st.one_of(st.none(), st.integers(0, 6))
+    lk = draw(st.lists(keys, min_size=0, max_size=12))
+    rk = draw(st.lists(keys, min_size=0, max_size=12))
+    return lk, rk
+
+
+def _sql_outer_join_expected(lk, rk, full):
+    """Independent SQL-semantics model: NULL keys match nothing; every
+    left row survives; with full, every unmatched right row survives."""
+    rows = []
+    r_used = [False] * len(rk)
+    for i, k in enumerate(lk):
+        hit = False
+        if k is not None:
+            for j, r in enumerate(rk):
+                if r == k:
+                    rows.append((k, i, r, j))
+                    r_used[j] = True
+                    hit = True
+        if not hit:
+            rows.append((k, i, None, None))
+    if full:
+        for j, r in enumerate(rk):
+            if not r_used[j]:
+                rows.append((None, None, r, j))
+    return sorted(rows, key=lambda x: tuple(-1 if v is None else v
+                                            for v in x))
+
+
+@settings(max_examples=60, deadline=None)
+@given(join_tables(), st.booleans())
+def test_outer_join_bucket_matches_sql_semantics(tables, full):
+    """The per-bucket outer-join kernel must reproduce SQL LEFT/FULL JOIN
+    on arbitrary duplicate/null-laden key multisets (single bucket = the
+    whole relation; bucketing only partitions by key hash)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spel_ray.pipelines.relational import _outer_join_bucket
+
+    lk, rk = tables
+    left_cols, right_cols = ["k", "v"], ["w"]
+    left_types = {"k": pa.int64(), "v": pa.int64()}
+
+    def tag(keys, side):
+        n = len(keys)
+        karr = pa.array(keys, pa.int64())
+        return pa.table({
+            "_key": karr,
+            "_side": pa.array([side] * n, pa.int8()),
+            "k": karr if side == 0 else pa.nulls(n, pa.int64()),
+            "v": (pa.array(list(range(n)), pa.int64()) if side == 0
+                  else pa.nulls(n, pa.int64())),
+            "w": (pa.array(list(range(n)), pa.int64()) if side == 1
+                  else pa.nulls(n, pa.int64())),
+        })
+
+    t = pa.concat_tables([tag(lk, 0), tag(rk, 1)])
+    out = _outer_join_bucket(t, left_cols, right_cols, left_types, full)
+    got = sorted(zip(out["k"].to_pylist(), out["v"].to_pylist(),
+                     [None if w is None else rk[w]
+                      for w in out["w"].to_pylist()],
+                     out["w"].to_pylist()),
+                 key=lambda x: tuple(-1 if v is None else v for v in x))
+    assert got == _sql_outer_join_expected(lk, rk, full)
+
+
+@st.composite
 def text_pair(draw):
     base = draw(st.text(alphabet=st.characters(codec="ascii",
                                                categories=["L", "N", "P", "Zs"]),
