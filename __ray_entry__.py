@@ -423,7 +423,8 @@ def _simhash_base_sql() -> str:
 def _minhash_dedup_oracle_sql(
         base_docs: str | None = None,
         final_select: str | None = None,
-        verify: bool = False) -> str:
+        verify: bool = False,
+        include_cc: bool = True) -> str:
     """Full SQL reproduction of the engine's MinHash-LSH dedup pipeline
     (``q_minhash_dedup_docs``), generated with the engine's own
     config-seeded constants inlined. Every integer step runs in HUGEINT
@@ -438,7 +439,10 @@ def _minhash_dedup_oracle_sql(
     salts). ``final_select``: optional replacement for the default
     cluster-table projection; it can reference ``base`` (the input docs),
     ``scored`` (id_lo, id_hi, score, is_exact) and ``cc``
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id). ``include_cc=False`` drops the recursive
+    connected-components tail for final selects that only read ``scored``
+    (chunk_neardup / hard_negatives / blocking_quality) — DuckDB evaluates
+    the recursion even when unreferenced, ~2 s each at sf0.01."""
     import hashlib as _hl
 
     from spel_ray.config import LinkageConfig
@@ -478,6 +482,45 @@ def _minhash_dedup_oracle_sql(
     BAND_POWS = lit_list(mh.band_pows)
     BAND_SALT = lit_list(exp.band_salt)
     POW16 = lit_list([16 ** k for k in range(16)])
+
+    verify_block = f"""vscored AS (
+  SELECT s.id_lo, s.id_hi, s.is_exact,
+         CASE WHEN s.score >= {cfg.verify_low}
+               AND s.score < {cfg.verify_high} THEN
+           greatest(
+             0.7 * (CASE WHEN len(kl.tl) = 0 AND len(kh.tl) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(kl.tl, kh.tl)) AS DOUBLE)
+                         / (len(kl.tl) + len(kh.tl)
+                            - len(list_intersect(kl.tl, kh.tl))) END)
+             + 0.3 * (CASE WHEN dl.norm = '' AND dh.norm = '' THEN 1.0
+                      ELSE jaro_winkler_similarity(substr(dl.norm, 1, 128),
+                                                   substr(dh.norm, 1, 128))
+                      END),
+             CASE WHEN s.is_exact THEN 1.0 ELSE 0.0 END)
+         ELSE s.score END AS score
+  FROM scored s
+  JOIN toks kl ON kl.doc_id = s.id_lo
+  JOIN toks kh ON kh.doc_id = s.id_hi
+  JOIN d dl ON dl.doc_id = s.id_lo
+  JOIN d dh ON dh.doc_id = s.id_hi
+),
+""" if verify else ""
+    cc_tail = f""",
+{verify_block}mh_edges AS (
+  SELECT id_lo AS a, id_hi AS b FROM {"vscored" if verify else "scored"}
+  WHERE is_exact OR score >= {cfg.score_threshold}
+),
+mh_edges2 AS (
+  SELECT a, b FROM mh_edges UNION ALL SELECT b, a FROM mh_edges
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN mh_edges2 e ON e.a = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+)""" if include_cc else ""
 
     if base_docs is None:
         base_docs = (f"SELECT doc_id, text, {LANG_SALT}::HUGEINT "
@@ -646,46 +689,7 @@ scored AS (
   JOIN tjacs t ON t.id_lo = j.id_lo AND t.id_hi = j.id_hi
   JOIN d dl ON dl.doc_id = j.id_lo
   JOIN d dh ON dh.doc_id = j.id_hi
-),
-{f'''vscored AS (
-  SELECT s.id_lo, s.id_hi, s.is_exact,
-         CASE WHEN s.score >= {cfg.verify_low}
-               AND s.score < {cfg.verify_high} THEN
-           greatest(
-             0.7 * (CASE WHEN len(kl.tl) = 0 AND len(kh.tl) = 0 THEN 1.0
-                    ELSE CAST(len(list_intersect(kl.tl, kh.tl)) AS DOUBLE)
-                         / (len(kl.tl) + len(kh.tl)
-                            - len(list_intersect(kl.tl, kh.tl))) END)
-             + 0.3 * (CASE WHEN dl.norm = '' AND dh.norm = '' THEN 1.0
-                      ELSE jaro_winkler_similarity(substr(dl.norm, 1, 128),
-                                                   substr(dh.norm, 1, 128))
-                      END),
-             CASE WHEN s.is_exact THEN 1.0 ELSE 0.0 END)
-         ELSE s.score END AS score
-  FROM scored s
-  JOIN toks kl ON kl.doc_id = s.id_lo
-  JOIN toks kh ON kh.doc_id = s.id_hi
-  JOIN d dl ON dl.doc_id = s.id_lo
-  JOIN d dh ON dh.doc_id = s.id_hi
-),
-mh_edges AS (
-  SELECT id_lo AS a, id_hi AS b FROM vscored
-  WHERE is_exact OR score >= {cfg.score_threshold}
-),''' if verify else f'''mh_edges AS (
-  SELECT id_lo AS a, id_hi AS b FROM scored
-  WHERE is_exact OR score >= {cfg.score_threshold}
-),'''}
-mh_edges2 AS (
-  SELECT a, b FROM mh_edges UNION ALL SELECT b, a FROM mh_edges
-),
-reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM base
-  UNION
-  SELECT e.b, r.lab FROM reach r JOIN mh_edges2 e ON e.a = r.node
-),
-cc AS (
-  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
-)
+){cc_tail}
 {final_select}
 """
 
@@ -1178,12 +1182,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS row_id, cluster_id FROM cc ORDER BY row_id"""),
         "hard_negatives": _minhash_dedup_oracle_sql(
             base_docs=_docs_code_base_sql(),
+            include_cc=False,
             final_select="""
             SELECT id_lo, id_hi, score FROM scored
             WHERE NOT is_exact AND score < 0.42
             ORDER BY score DESC, id_lo, id_hi LIMIT 50"""),
         "blocking_quality": _minhash_dedup_oracle_sql(
             base_docs=_docs_code_base_sql(),
+            include_cc=False,
             final_select=_blocking_quality_final_sql()),
         # sorted-neighborhood blocking: global rank-window pairs over the
         # normalized-prefix sort order (engine: range-partitioned local
@@ -1228,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS row_id, cluster_id FROM cc ORDER BY row_id"""),
         "chunk_neardup": _minhash_dedup_oracle_sql(
             base_docs=_chunk_base_sql(),
+            include_cc=False,
             final_select="""
             SELECT least(s.id_lo // 4096, s.id_hi // 4096) AS id_lo,
                    greatest(s.id_lo // 4096, s.id_hi // 4096) AS id_hi,
