@@ -779,13 +779,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": dq.q_tfidf_top_terms,
         "scrub_docs": dq.q_scrub_docs,
         "quality_quantiles": dq.q_quality_quantiles,
-        "sessionize": dq.q_sessionize,
+        "unigram_logppl": dq.q_unigram_logppl,       # NEW r5: LM quality
         "asof_join": dq.q_asof_join,
         # ---- past the 50-slot snapshot cap: long-stable rows, still
         # verified every round by tools/check_all.py ----------------------
         "orders_full_join": rel.q_orders_full_join,   # NEW r5 (left join's
                                                       # full=True mode is the
                                                       # in-cap representative)
+        "sessionize": dq.q_sessionize,
         "sliding_window": dq.q_sliding_window,
         "running_revenue": dq.q_running_revenue,
         "topk_per_group": dq.q_topk_per_group,
@@ -1157,6 +1158,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             ORDER BY id_lo, id_hi
+        """),
+        # CCNet-style unigram LM quality proxy: the oracle re-derives the
+        # deterministic top-1000 vocabulary (count desc, token asc), the
+        # corpus-total probability base, and the per-doc mean -ln p over
+        # in-vocab tokens; ln is libm on both sides, mean rounded to 5dp
+        "unigram_logppl": _ascii_ws_guarded("""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(COALESCE(text, ''), '\\S+'))
+                         AS t
+              FROM documents
+            ), freq AS (
+              SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+            ), tot AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq
+            ), vocab AS (
+              SELECT t, c FROM freq ORDER BY c DESC, t LIMIT 1000
+            ), sc AS (
+              SELECT tok.doc_id,
+                     COUNT(v.t) AS n_scored,
+                     COUNT(*) - COUNT(v.t) AS n_oov,
+                     SUM(-ln(v.c / tot.total)) AS s
+              FROM tok LEFT JOIN vocab v ON v.t = tok.t, tot
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0.0
+                        ELSE ROUND(sc.s / sc.n_scored, 5)
+                   END AS mean_neg_logp
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """),
         "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
         "curation_full": _minhash_dedup_oracle_sql(

@@ -191,6 +191,70 @@ def _token_vocab_finalize(parts, top_k, num_buckets, bucketed_groupby):
         .head(top_k).reset_index(drop=True)
 
 
+def unigram_logppl(ds: ray.data.Dataset, *, vocab_size: int = 1000,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """CCNet-style unigram language-model quality signal: per document the
+    mean negative log-probability of its in-vocabulary tokens under the
+    corpus's own top-``vocab_size`` unigram distribution, plus the OOV
+    count (high mean-neg-logp / high OOV fraction = rare-token gibberish,
+    the classic LM-perplexity proxy used by corpus-filtering pipelines).
+
+    Two passes over the input: (1) the :func:`token_vocab` shuffle builds
+    the top-k frequency table (driver holds only vocab_size rows) and one
+    tiny aggregate counts the corpus total; the per-token
+    ``-ln(count/total)`` table is broadcast via ``ray.put``; (2) one
+    streaming ``map_batches`` scores every document with a C-level dict
+    map + segment bincount — no per-token Python in the hot loop. DuckDB
+    ln and Python math.log share libm, so the oracle is value-exact at
+    the rounded precision."""
+    vocab = token_vocab(ds, top_k=vocab_size, text_col=text_col,
+                        num_buckets=num_buckets)
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = sum(len((t or "").split()) for t in batch[text_col].to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = int(ds.map_batches(count_tokens, batch_format="pyarrow")
+                .to_pandas()["n"].sum())
+    neg_logp = {t: -math.log(c / total)
+                for t, c in zip(vocab["token"], vocab["n"])} if total else {}
+    ref = ray.put(neg_logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        toks_per_doc = [(t or "").split()
+                        for t in batch[text_col].to_pylist()]
+        lens = np.fromiter((len(t) for t in toks_per_doc),
+                           dtype=np.int64, count=len(toks_per_doc))
+        n_docs = len(lens)
+        if int(lens.sum()) == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "n_scored": pa.array(np.zeros(n_docs, np.int64)),
+                "n_oov": pa.array(np.zeros(n_docs, np.int64)),
+                "mean_neg_logp": pa.array(np.zeros(n_docs, np.float64)),
+            })
+        flat = pd.Series([tok for toks in toks_per_doc for tok in toks],
+                         dtype=object)
+        vals = flat.map(lp)                     # NaN for OOV
+        idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        hit = (~vals.isna()).to_numpy()
+        v = vals.fillna(0.0).to_numpy(np.float64)
+        n_scored = np.bincount(idx, weights=hit,
+                               minlength=n_docs).astype(np.int64)
+        s = np.bincount(idx, weights=v, minlength=n_docs)
+        mean = np.where(n_scored > 0, s / np.maximum(n_scored, 1), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_scored": pa.array(n_scored, pa.int64()),
+            "n_oov": pa.array(lens - n_scored, pa.int64()),
+            "mean_neg_logp": pa.array(np.round(mean, 5), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def tfidf_top_terms(ds: ray.data.Dataset, *, k: int = 3,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_buckets: int = 16) -> ray.data.Dataset:

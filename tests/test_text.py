@@ -115,6 +115,31 @@ def test_line_stats_repetition():
     assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_line_frac"] == 0.0
 
 
+def test_unigram_logppl_hand_computed():
+    import math
+
+    from spel_ray.functions.text import unigram_logppl
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        # corpus: a×3, b×2, c×1 (total 6); vocab_size=2 keeps {a, b}
+        "text": ["a a b", "a b c", ""],
+    }))
+    out = unigram_logppl(ds, vocab_size=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 1: all in-vocab, mean = (2*(-ln(3/6)) + (-ln(2/6))) / 3
+    want1 = round((2 * -math.log(3 / 6) + -math.log(2 / 6)) / 3, 5)
+    assert out.loc[1, "n_scored"] == 3 and out.loc[1, "n_oov"] == 0
+    assert out.loc[1, "mean_neg_logp"] == want1
+    # doc 2: c is OOV (pruned from the top-2 vocab)
+    assert out.loc[2, "n_scored"] == 2 and out.loc[2, "n_oov"] == 1
+    want2 = round((-math.log(3 / 6) + -math.log(2 / 6)) / 2, 5)
+    assert out.loc[2, "mean_neg_logp"] == want2
+    # doc 3: empty → zeroed, never NaN
+    assert out.loc[3, "n_scored"] == 0 and out.loc[3, "n_oov"] == 0
+    assert out.loc[3, "mean_neg_logp"] == 0.0
+
+
 def test_tfidf_top_terms_hand_computed():
     import math
 
