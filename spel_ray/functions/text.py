@@ -200,14 +200,14 @@ def unigram_logppl(ds: ray.data.Dataset, *, vocab_size: int = 1000,
     count (high mean-neg-logp / high OOV fraction = rare-token gibberish,
     the classic LM-perplexity proxy used by corpus-filtering pipelines).
 
-    Two passes over the input: (1) the :func:`token_vocab` shuffle builds
-    the top-k frequency table (driver holds only vocab_size rows) and one
-    tiny aggregate counts the corpus total; the per-token
-    ``-ln(count/total)`` table is broadcast via ``ray.put``; (2) one
-    streaming ``map_batches`` scores every document with a C-level dict
-    map + segment bincount — no per-token Python in the hot loop. DuckDB
-    ln and Python math.log share libm, so the oracle is value-exact at
-    the rounded precision."""
+    Three streaming passes over the input: (1) the :func:`token_vocab`
+    shuffle builds the top-k frequency table (driver holds only vocab_size
+    rows), (2) one map-only aggregate counts the corpus total token count,
+    then the per-token ``-ln(count/total)`` table is broadcast via
+    ``ray.put``, and (3) one ``map_batches`` pass scores every document
+    with a C-level dict map + segment bincount — no per-token Python in
+    the hot loop. DuckDB ln and Python math.log share libm, so the oracle
+    is value-exact at the rounded precision."""
     vocab = token_vocab(ds, top_k=vocab_size, text_col=text_col,
                         num_buckets=num_buckets)
 
