@@ -777,7 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text quality / streaming representatives
         "gopher_rules": dq.q_gopher_rules,
         "tfidf_top_terms": dq.q_tfidf_top_terms,
-        "scrub_docs": dq.q_scrub_docs,
+        "dedup_lines": dq.q_dedup_lines,             # NEW r5: C4 line dedup
         "quality_quantiles": dq.q_quality_quantiles,
         "unigram_logppl": dq.q_unigram_logppl,       # NEW r5: LM quality
         "asof_join": dq.q_asof_join,
@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_full_join": rel.q_orders_full_join,   # NEW r5 (left join's
                                                       # full=True mode is the
                                                       # in-cap representative)
+        "scrub_docs": dq.q_scrub_docs,
         "sessionize": dq.q_sessionize,
         "sliding_window": dq.q_sliding_window,
         "running_revenue": dq.q_running_revenue,
@@ -1192,6 +1193,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY d.doc_id
         """),
+        # C4-style intra-doc line dedup: first-occurrence election via MIN
+        # ordinality per (doc, line), reassembled in first-seen order
+        "dedup_lines": """
+            WITH l AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR text = '' THEN []
+                          ELSE string_split(text, chr(10)) END AS lines
+              FROM documents
+            ), e AS (
+              SELECT doc_id, unnest(lines) AS line,
+                     unnest(generate_series(1, len(lines))) AS i
+              FROM l
+            ), firsts AS (
+              SELECT doc_id, line, MIN(i) AS fi
+              FROM e GROUP BY doc_id, line
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY fi) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM firsts GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   COALESCE(agg.clean_text, '') AS clean_text,
+                   CAST(len(l.lines) AS BIGINT) AS n_lines,
+                   CAST(len(l.lines) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM l LEFT JOIN agg USING (doc_id)
+            ORDER BY l.doc_id
+        """,
         "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
         "curation_full": _minhash_dedup_oracle_sql(
             base_docs=f"""

@@ -191,6 +191,41 @@ def _token_vocab_finalize(parts, top_k, num_buckets, bucketed_groupby):
         .head(top_k).reset_index(drop=True)
 
 
+def dedup_lines(ds: ray.data.Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """C4-style intra-document duplicate-line removal: keep the FIRST
+    occurrence of each exact line within a document, drop repeats, and
+    reassemble in original order — the rewrite companion to the
+    ``dup_line_frac`` statistic (the C4 cleaning rule "deduplicate lines
+    at the document level"). One map-only pass, no shuffle; per-document
+    dedup is a C-level ``dict.fromkeys`` (order-preserving). Output:
+    (doc_id, clean_text, n_lines, n_lines_removed). Empty/NULL text
+    follows the ``line_stats`` convention (zero lines, empty rewrite)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        clean, n_lines, n_rm = [], [], []
+        for t in texts:
+            if not t:
+                clean.append("")
+                n_lines.append(0)
+                n_rm.append(0)
+                continue
+            lines = t.split("\n")
+            kept = list(dict.fromkeys(lines))
+            clean.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_rm.append(len(lines) - len(kept))
+        return pa.table({
+            id_col: batch[id_col],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_lines_removed": pa.array(n_rm, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def unigram_logppl(ds: ray.data.Dataset, *, vocab_size: int = 1000,
                    text_col: str = "text", id_col: str = "doc_id",
                    num_buckets: int = 16) -> ray.data.Dataset:

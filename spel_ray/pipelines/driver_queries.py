@@ -1033,6 +1033,17 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_dedup_lines(sf_dir: str) -> pd.DataFrame:
+    """C4-style intra-document duplicate-line removal rewrite — the
+    curation companion to ``line_stats``. DuckDB-oracled: the oracle
+    re-derives first-occurrence election (MIN ordinality per line) and
+    in-order reassembly."""
+    from spel_ray.functions.text import dedup_lines
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dedup_lines(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_unigram_logppl(sf_dir: str) -> pd.DataFrame:
     """CCNet-style unigram LM quality proxy: per-document mean
     -ln p(token) under the corpus's own top-1000 unigram distribution +

@@ -115,6 +115,24 @@ def test_line_stats_repetition():
     assert out.loc[3, "n_lines"] == 0 and out.loc[3, "dup_line_frac"] == 0.0
 
 
+def test_dedup_lines_rewrite():
+    from spel_ray.functions.text import dedup_lines
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a\nb\na\nc\nb", "x\ny", "", "only\nonly\nonly"],
+    }))
+    out = dedup_lines(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "a\nb\nc"      # first-seen order
+    assert out.loc[1, "n_lines"] == 5
+    assert out.loc[1, "n_lines_removed"] == 2
+    assert out.loc[2, "clean_text"] == "x\ny"
+    assert out.loc[2, "n_lines_removed"] == 0
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_lines"] == 0
+    assert out.loc[4, "clean_text"] == "only"
+    assert out.loc[4, "n_lines_removed"] == 2
+
+
 def test_unigram_logppl_hand_computed():
     import math
 
