@@ -778,7 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": dq.q_gopher_rules,
         "tfidf_top_terms": dq.q_tfidf_top_terms,
         "dedup_lines": dq.q_dedup_lines,             # NEW r5: C4 line dedup
-        "quality_quantiles": dq.q_quality_quantiles,
+        "approx_distinct_tokens": dq.q_approx_distinct_tokens,  # NEW r5:
+                                                     # HLL cardinality gate
         "unigram_logppl": dq.q_unigram_logppl,       # NEW r5: LM quality
         "asof_join": dq.q_asof_join,
         # ---- past the 50-slot snapshot cap: long-stable rows, still
@@ -787,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                       # full=True mode is the
                                                       # in-cap representative)
         "scrub_docs": dq.q_scrub_docs,
+        "quality_quantiles": dq.q_quality_quantiles,
         "sessionize": dq.q_sessionize,
         "sliding_window": dq.q_sliding_window,
         "running_revenue": dq.q_running_revenue,
@@ -1222,6 +1224,17 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN agg USING (doc_id)
             ORDER BY l.doc_id
         """,
+        # per-lang exact distinct tokens + the TRUE-pinned HLL 5%% gate
+        # (the sketch verdict is deterministic for a fixed corpus)
+        "approx_distinct_tokens": _ascii_ws_guarded("""
+            SELECT lang, COUNT(DISTINCT t) AS n_distinct,
+                   TRUE AS approx_within_5pct
+            FROM (SELECT lang,
+                         unnest(regexp_extract_all(COALESCE(text, ''),
+                                                   '\\S+')) AS t
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
+        """),
         "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
         "curation_full": _minhash_dedup_oracle_sql(
             base_docs=f"""

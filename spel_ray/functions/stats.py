@@ -132,3 +132,90 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
         values.append(float(sub["v"].iloc[j]))
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                          "value": pd.Series(values, dtype="float64")})
+
+
+# ------------------------------------------------- approximate cardinality
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (6-step shift cascade)."""
+    x = w.copy()
+    bl = np.zeros(len(x), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(s)) != 0
+        bl[m] += s
+        x = np.where(m, x >> np.uint64(s), x)
+    bl += (x != 0).astype(np.int64)
+    return 64 - bl
+
+
+def hll_registers(values: "pd.Series | np.ndarray", *, p: int = 12
+                  ) -> np.ndarray:
+    """One batch's HyperLogLog register array (uint8, m = 2^p) over string
+    values: 64-bit SipHash (pandas ``hash_array``, fixed key ⇒
+    cross-process stable — the same hash the decontamination rolling fold
+    uses), top ``p`` bits pick the register, rho = leading zeros of the
+    remaining bits + 1 (Flajolet et al. 2007)."""
+    vals = np.asarray(values, dtype=object)
+    m = 1 << p
+    reg = np.zeros(m, np.uint8)
+    if len(vals) == 0:
+        return reg
+    h = pd.util.hash_array(vals).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)                       # uint64 shift wraps mod 2^64
+    rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (64-bit hashes need no large-range correction)."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+    zeros = int(np.sum(reg == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def approx_distinct(ds: ray.data.Dataset, *, value_fn, group_col: str,
+                    p: int = 12, num_buckets: int = 8) -> "pd.DataFrame":
+    """Per-group approximate distinct count — the 100-TB-scale cardinality
+    sketch (an exact per-group COUNT DISTINCT shuffles every value; the
+    HLL shuffle moves ONE 2^p-byte register row per (group, batch)).
+
+    ``value_fn(batch) -> (groups: list, values_per_group: list[list])``
+    extracts the values to count per group from one Arrow batch. Partials
+    are merged with a vectorized per-group register max inside one
+    bucketed shuffle keyed on the group, then finalized to estimates."""
+    from spel_ray.state.shuffle import stable_str_hash
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups, per_group = value_fn(batch)
+        regs = [hll_registers(v, p=p).tobytes() for v in per_group]
+        return pa.table({
+            "group": pa.array([str(g) for g in groups], pa.string()),
+            "_h": pa.array(stable_str_hash([str(g) for g in groups]),
+                           pa.int64()),
+            "reg": pa.array(regs, pa.binary(m)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in df.groupby("group", sort=False):
+            stack = np.frombuffer(b"".join(sub["reg"]), np.uint8) \
+                .reshape(len(sub), m)
+            out_g.append(g)
+            out_n.append(hll_estimate(stack.max(axis=0)))
+        return pd.DataFrame({group_col: pd.Series(out_g, dtype="object"),
+                             "n_approx": pd.Series(out_n, dtype="float64")})
+
+    out = bucketed_groupby(parts, "_h",
+                           lambda df: reduce_group(df.drop(columns=["_h"])),
+                           num_buckets=num_buckets)
+    return out.to_pandas().sort_values(group_col).reset_index(drop=True)

@@ -1033,6 +1033,72 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_approx_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-lang distinct whitespace-token count with an in-row HyperLogLog
+    cross-check — the 100-TB cardinality sketch (exact per-group COUNT
+    DISTINCT shuffles every value; the HLL shuffle moves one 16 KB
+    register row per (lang, batch)). ``n_distinct`` is the EXACT count
+    (SQL-oracled against COUNT(DISTINCT)); ``approx_within_5pct`` is the
+    engine's own |HLL/exact − 1| ≤ 0.05 verdict and the oracle pins it
+    TRUE — if the sketch ever drifts the driver hash fails loudly (the
+    ann_recall gate pattern; p=14 ⇒ σ ≈ 0.8%, measured ≤ 1.2% to 1M)."""
+    from spel_ray.functions.stats import approx_distinct
+    from spel_ray.state.shuffle import bucketed_groupby, stable_str_hash
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def tokens_by_lang(batch: pa.Table):
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                           "text": batch["text"].to_pylist()})
+        langs, vals = [], []
+        for g, sub in df.groupby("lang", sort=False):
+            toks: list[str] = []
+            for t in sub["text"]:
+                toks.extend((t or "").split())
+            langs.append(g)
+            vals.append(np.array(toks, dtype=object))
+        return langs, vals
+
+    approx = approx_distinct(ds, value_fn=tokens_by_lang, group_col="lang",
+                             p=14, num_buckets=4)
+
+    # exact side: per-batch distinct (lang, token) pairs, bucketed by the
+    # pair hash (each pair lands wholly in one bucket), per-bucket distinct
+    # count per lang, tiny per-lang sums on the driver
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                           "text": batch["text"].to_pylist()})
+        rows = [(g, tok) for g, t in zip(df["lang"], df["text"])
+                for tok in set((t or "").split())]
+        pdf = pd.DataFrame(rows, columns=["lang", "token"]) \
+            .drop_duplicates()
+        keys = (pdf["lang"] + "\x00" + pdf["token"]).tolist()
+        return pa.table({
+            "lang": pa.array(pdf["lang"].tolist(), pa.string()),
+            "token": pa.array(pdf["token"].tolist(), pa.string()),
+            "_h": pa.array(stable_str_hash(keys), pa.int64()),
+        })
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["lang", "token"]) \
+            .groupby("lang", sort=False).size().reset_index(name="n")
+        return g
+
+    exact = bucketed_groupby(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        "_h", lambda df: count_bucket(df.drop(columns=["_h"])),
+        num_buckets=8).to_pandas().groupby("lang")["n"].sum().reset_index()
+
+    out = exact.merge(approx, on="lang")
+    out["approx_within_5pct"] = (
+        (out["n_approx"] / out["n"] - 1.0).abs() <= 0.05)
+    return pd.DataFrame({
+        "lang": out["lang"],
+        "n_distinct": out["n"].astype("int64"),
+        "approx_within_5pct": out["approx_within_5pct"].astype(bool),
+    }).sort_values("lang").reset_index(drop=True)
+
+
 def q_dedup_lines(sf_dir: str) -> pd.DataFrame:
     """C4-style intra-document duplicate-line removal rewrite — the
     curation companion to ``line_stats``. DuckDB-oracled: the oracle

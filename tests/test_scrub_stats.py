@@ -182,3 +182,63 @@ def test_quantiles_oracle_parity_fuzzed(vals, qs):
     got = dict(zip(out["q"], out["value"]))
     for q, v in zip(ora["q"], ora["value"]):
         assert got[float(q)] == float(v), (q, got[float(q)], v)
+
+
+def test_hll_accuracy_and_merge():
+    """Deterministic HLL checks: (a) estimate within 5% at several fixed
+    cardinalities (p=14, measured ~1%), (b) register-max merge of disjoint
+    halves equals the whole-set registers (the distributed combine), and
+    (c) duplicates never change the estimate."""
+    import numpy as np
+
+    from spel_ray.functions.stats import hll_estimate, hll_registers
+
+    for n in (100, 5_000, 60_000):
+        vals = np.array([f"tok_{i}" for i in range(n)], dtype=object)
+        est = hll_estimate(hll_registers(vals, p=14))
+        assert abs(est / n - 1.0) <= 0.05, (n, est)
+
+    vals = np.array([f"tok_{i}" for i in range(20_000)], dtype=object)
+    whole = hll_registers(vals, p=14)
+    merged = np.maximum(hll_registers(vals[:9_000], p=14),
+                        hll_registers(vals[9_000:], p=14))
+    assert np.array_equal(whole, merged)
+
+    dup = np.concatenate([vals, vals[:5_000]])
+    assert np.array_equal(hll_registers(dup, p=14), whole)
+
+
+def test_approx_distinct_groups():
+    """Grouped HLL over a Dataset: per-group estimates within 5% of the
+    true distinct counts; groups never bleed into each other."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.stats import approx_distinct
+
+    t = pa.table({
+        "g": ["a"] * 3 + ["b"] * 2,
+        "text": [" ".join(f"a{i}" for i in range(k, k + 400))
+                 for k in (0, 200, 400)]       # a: 0..799 → 800 distinct
+        + [" ".join(f"b{i}" for i in range(150))] * 2,  # b: 150 distinct
+    })
+
+    def by_group(batch):
+        import pandas as pd
+        df = pd.DataFrame({"g": batch["g"].to_pylist(),
+                           "text": batch["text"].to_pylist()})
+        gs, vs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            toks = []
+            for x in sub["text"]:
+                toks.extend(x.split())
+            gs.append(g)
+            vs.append(np.array(toks, dtype=object))
+        return gs, vs
+
+    out = approx_distinct(rd.from_arrow(t), value_fn=by_group,
+                          group_col="g", p=14, num_buckets=2) \
+        .set_index("g")["n_approx"]
+    assert abs(out["a"] / 800 - 1.0) <= 0.05
+    assert abs(out["b"] / 150 - 1.0) <= 0.05
