@@ -118,6 +118,46 @@ def test_join_null_key_semantics():
     assert sorted(semi["v"]) == ["c"]
 
 
+def test_bucket_count_invariance():
+    """Partitioning-independence (the scale-safety claim every bucketed
+    operator makes): changing num_buckets must not change RESULTS, only
+    the physical exchange — pinned for the round-5 operators on inputs
+    with duplicates, misses and empty docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from spel_ray.functions.substring import dedup_repeated_substrings
+    from spel_ray.pipelines.relational import left_outer_join
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+        "v": ["a", "b", "c", "d", "e"]}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 9], pa.int64()), "w": ["x", "y", "z"]}))
+    a = canon(left_outer_join(left, right, "k", "rk", full=True,
+                              num_buckets=2).to_pandas())
+    b = canon(left_outer_join(left, right, "k", "rk", full=True,
+                              num_buckets=7).to_pandas())
+    assert a.equals(b)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": ["one two three four " * 8,          # shared boilerplate
+                 "one two three four " * 8 + "tail five six seven eight",
+                 "unique body " + "alpha beta gamma delta " * 6,
+                 "", "short", "one two three four " * 8],
+    }))
+    x = canon(dedup_repeated_substrings(docs, window=4,
+                                        num_buckets=2).to_pandas())
+    y = canon(dedup_repeated_substrings(docs, window=4,
+                                        num_buckets=16).to_pandas())
+    assert x.equals(y)
+
+
 def test_left_and_full_outer_join_semantics():
     """LEFT: every left row survives (duplicated per match, null-extended
     on miss; NULL left keys match nothing but still surface). FULL: also
